@@ -26,6 +26,16 @@ NEAR_CULL_Z = 0.2
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 TRANSMITTANCE_EPS = 1e-4
+# Explicit 3-sigma Mahalanobis support cutoff. The CUDA rasterizer implicitly
+# clips each splat to the tiles covered by its 3-sigma rect; we make the
+# cutoff a deterministic per-pixel rule (power < power_cut => zero) so every
+# renderer tier computes the identical image regardless of tiling.
+POWER_CUTOFF = -4.5
+# Hard cap on screen radius. Splats larger than this get their support ellipse
+# shrunk proportionally (power_cut scaled) so it still fits the binning rect.
+# The training pipeline prunes Gaussians with screen radius > 20 px anyway
+# (reference: gaussian_model.py:408-416, size_threshold=20).
+MAX_SPLAT_RADIUS = 32.0
 
 
 class ProjectedGaussians(NamedTuple):
@@ -38,10 +48,11 @@ class ProjectedGaussians(NamedTuple):
     xy: jnp.ndarray        # [N, 2] pixel-space means
     depth: jnp.ndarray     # [N] camera-space z (sorting key)
     conic: jnp.ndarray     # [N, 3] upper-triangular inverse 2D covariance (a, b, c)
-    radius: jnp.ndarray    # [N] float 3-sigma screen radius in pixels
+    radius: jnp.ndarray    # [N] screen radius in pixels (<= MAX_SPLAT_RADIUS)
     color: jnp.ndarray     # [N, 3] view-dependent RGB (SH already evaluated)
     opacity: jnp.ndarray   # [N] activated opacity in [0, 1]
     valid: jnp.ndarray     # [N] bool
+    power_cut: jnp.ndarray  # [N] per-Gaussian support cutoff (<= 0)
 
 
 def build_covariance(scales: jnp.ndarray, quats: jnp.ndarray,
@@ -143,10 +154,14 @@ def project_gaussians(
     inv_det = 1.0 / det_safe
     conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
 
-    # 3-sigma radius from max eigenvalue of the 2D covariance.
+    # 3-sigma radius from max eigenvalue of the 2D covariance, capped so the
+    # support always fits a bounded tile rect (power_cut shrinks the ellipse
+    # of oversized splats proportionally).
     mid = 0.5 * (c00 + c11)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+    radius_raw = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+    radius = jnp.minimum(radius_raw, MAX_SPLAT_RADIUS)
+    power_cut = POWER_CUTOFF * (radius / jnp.maximum(radius_raw, 1.0)) ** 2
 
     valid = (tz > NEAR_CULL_Z) & (det > 0.0)
     # On-screen test: a gaussian whose disc misses the image contributes nothing.
@@ -171,4 +186,5 @@ def project_gaussians(
         color=colors,
         opacity=opacities,
         valid=valid,
+        power_cut=power_cut,
     )

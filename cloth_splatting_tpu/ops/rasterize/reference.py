@@ -36,6 +36,7 @@ def rasterize_reference(
     opacity = proj.opacity[order]
     depth = jnp.where(jnp.isfinite(proj.depth[order]), proj.depth[order], 0.0)
     valid = proj.valid[order]
+    power_cut = proj.power_cut[order]
 
     ys, xs = jnp.mgrid[0:height, 0:width]
     pix = jnp.stack([xs, ys], axis=-1).reshape(-1, 2).astype(xy.dtype)  # [P, 2]
@@ -46,7 +47,7 @@ def rasterize_reference(
         a[:, None] * d[..., 0] ** 2 + c[:, None] * d[..., 1] ** 2
     ) - b[:, None] * d[..., 0] * d[..., 1]
     alpha = jnp.minimum(ALPHA_MAX, opacity[:, None] * jnp.exp(power))    # [N, P]
-    alpha = jnp.where(power > 0.0, 0.0, alpha)
+    alpha = jnp.where((power > 0.0) | (power < power_cut[:, None]), 0.0, alpha)
     alpha = jnp.where(alpha < ALPHA_MIN, 0.0, alpha)
     alpha = jnp.where(valid[:, None], alpha, 0.0)
 

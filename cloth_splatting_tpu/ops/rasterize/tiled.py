@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from cloth_splatting_tpu.ops.projection import (
     ALPHA_MAX,
     ALPHA_MIN,
+    MAX_SPLAT_RADIUS,
     ProjectedGaussians,
 )
 
@@ -61,7 +62,7 @@ def rasterize_tiled(
     height: int,
     bg_color: jnp.ndarray,
     tile_size: int = 16,
-    win: int = 4,
+    win: int = 6,
     k_cap: int = 512,
     k_chunk: int = 32,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, RasterAux]:
@@ -93,18 +94,26 @@ def rasterize_tiled(
     opacity = proj.opacity[order]
     depth = jnp.where(jnp.isfinite(proj.depth[order]), proj.depth[order], 0.0)
     valid = proj.valid[order]
+    power_cut = proj.power_cut[order]
 
     # ---- 2. instance expansion -------------------------------------------------
-    # Clamp the binning radius so the tile rect fits the static window.
-    max_r = (win * tile_size) / 2.0 - tile_size / 2.0 - 1.0
-    r_bin = jnp.minimum(proj.radius[order], max_r)
+    # The projection stage caps radius at MAX_SPLAT_RADIUS and shrinks the
+    # support ellipse (power_cut) to match, so any rect of span
+    # 2 + 2*MAX_SPLAT_RADIUS/tile_size tiles is guaranteed to contain the
+    # full support. win must cover that span.
+    min_win = 2 + 2 * int(MAX_SPLAT_RADIUS) // tile_size
+    if win < min_win:
+        raise ValueError(f"win={win} too small for MAX_SPLAT_RADIUS; need >= {min_win}")
+    r_bin = proj.radius[order]
     x0 = jnp.clip(jnp.floor((xy[:, 0] - r_bin) / tile_size), 0, tw).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((xy[:, 1] - r_bin) / tile_size), 0, th).astype(jnp.int32)
+    # exclusive upper tiles: last pixel possibly inside the support is
+    # floor(center + r), whose tile is floor((center + r) / ts).
     x1 = jnp.clip(
-        jnp.floor((xy[:, 0] + r_bin + tile_size - 1) / tile_size), 0, tw
-    ).astype(jnp.int32)  # exclusive
+        jnp.floor((xy[:, 0] + r_bin) / tile_size) + 1, 0, tw
+    ).astype(jnp.int32)
     y1 = jnp.clip(
-        jnp.floor((xy[:, 1] + r_bin + tile_size - 1) / tile_size), 0, th
+        jnp.floor((xy[:, 1] + r_bin) / tile_size) + 1, 0, th
     ).astype(jnp.int32)
 
     dj = jnp.arange(slots, dtype=jnp.int32)
@@ -159,6 +168,7 @@ def rasterize_tiled(
         g_color = color[safe]                                    # [T, kc, 3]
         g_op = opacity[safe]                                     # [T, kc]
         g_dep = depth[safe]                                      # [T, kc]
+        g_cut = power_cut[safe]                                  # [T, kc]
 
         d = pix[:, None, :, :] - g_xy[:, :, None, :]             # [T, kc, 256, 2]
         a = g_conic[..., 0:1]
@@ -168,7 +178,12 @@ def rasterize_tiled(
             -0.5 * (a * d[..., 0] ** 2 + c * d[..., 1] ** 2) - b * d[..., 0] * d[..., 1]
         )                                                        # [T, kc, 256]
         alpha = jnp.minimum(ALPHA_MAX, g_op[..., None] * jnp.exp(power))
-        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN) | (~gmask[..., None]), 0.0, alpha)
+        alpha = jnp.where(
+            (power > 0.0) | (power < g_cut[..., None]) | (alpha < ALPHA_MIN)
+            | (~gmask[..., None]),
+            0.0,
+            alpha,
+        )
 
         one_minus = 1.0 - alpha
         # exclusive in-chunk transmittance
