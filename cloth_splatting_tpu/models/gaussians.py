@@ -228,18 +228,37 @@ def gaussian_positions(params: GaussianParams, state: GaussianState, mesh: Mesh,
     return jnp.einsum("cb,cbx->cx", norm_bary, tri)
 
 
+def _triangle_frames(tri: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+    """Orthonormal frame per triangle [N, 3, 3] (columns: edge, in-plane
+    perpendicular, normal)."""
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    n = jnp.cross(e1, e2)
+    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), eps)
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
+    t = jnp.cross(n, e1)
+    return jnp.stack([e1, t, n], axis=-1)  # columns
+
+
 def face_rotations(mesh: Mesh, deformed_vertices: jnp.ndarray) -> jnp.ndarray:
     """Per-face rigid rotation rest->deformed as WXYZ quaternions.
 
-    Closed-form batched Kabsch over each face's 3 vertices; replaces
-    per-Gaussian ``roma.rigid_points_registration`` (gaussian_mesh.py:186)
-    with a per-FACE computation gathered to Gaussians (about 2x fewer SVDs).
+    Replaces per-Gaussian ``roma.rigid_points_registration`` (reference:
+    gaussian_mesh.py:186) with a per-FACE triangle-frame alignment gathered to
+    Gaussians: R = F_deformed @ F_rest^T where F is the orthonormal
+    (edge, in-plane-perp, normal) frame. Exact for rigid face motion,
+    smooth and differentiable everywhere (SVD-based Kabsch has undefined
+    gradients at the repeated singular values every planar triangle
+    produces), and runs as two batched 3x3 matmuls on the MXU instead of N
+    SVDs.
     """
-    from cloth_splatting_tpu.ops.quaternion import kabsch_rotation, rotmat_to_quat
+    from cloth_splatting_tpu.ops.quaternion import rotmat_to_quat
 
     rest = mesh.pos[mesh.faces]            # [F, 3, 3]
     deformed = deformed_vertices[mesh.faces]
-    r = kabsch_rotation(rest, deformed)    # [F, 3, 3]
+    f_rest = _triangle_frames(rest)
+    f_def = _triangle_frames(deformed)
+    r = jnp.einsum("fij,fkj->fik", f_def, f_rest)  # F_def @ F_rest^T
     return rotmat_to_quat(r)
 
 

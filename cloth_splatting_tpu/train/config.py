@@ -1,0 +1,150 @@
+"""Configuration system.
+
+One dataclass per reference param group, replicating the reference's NAMES and
+DEFAULTS exactly (reference: arguments/__init__.py:51-173) because the run
+scripts and saved ``cfg_args`` depend on them, with the reference's
+python-file overlay semantics (``--configs arguments/cloth_splatting/*.py``
+files that define ``OptimizationParams = dict(...)`` etc., merged over the
+defaults — reference: utils/params_utils.py:1-8 + train.py:422-427).
+
+Unlike the reference's three coexisting systems (argparse auto-gen, mmcv
+configs, absl flags) everything funnels into these dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import runpy
+from typing import Any
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Reference ModelParams (arguments/__init__.py:51-67)."""
+
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = True
+    data_device: str = "tpu"
+    eval: bool = True
+    render_process: bool = False
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Reference PipelineParams (arguments/__init__.py:70-75)."""
+
+    convert_SHs_python: bool = False
+    compute_cov3D_python: bool = False
+    debug: bool = False
+
+
+@dataclasses.dataclass
+class OptimizationConfig:
+    """Reference OptimizationParams (arguments/__init__.py:109-159)."""
+
+    dataloader: bool = False
+    iterations: int = 8_000
+    coarse_iterations: int = 3000
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 20_000
+    position_lr_static: float = 0.0016  # present in scene configs; unused (parity)
+    deformation_lr_init: float = 0.00016
+    deformation_lr_final: float = 0.000016
+    deformation_lr_delay_mult: float = 0.01
+    grid_lr_init: float = 0.0016
+    grid_lr_final: float = 0.00016
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.1
+    lambda_lpips: float = 0.0
+    lambda_rigid: float = 0.3
+    lambda_deform_mag: float = 0.01
+    lambda_momentum: float = 0.1
+    weight_constraint_init: float = 1.0
+    weight_constraint_after: float = 0.2
+    weight_decay_iteration: int = 5000
+    opacity_reset_interval: int = 3000
+    densification_interval: int = 100
+    densify_from_iter: int = 500
+    densify_until_iter: int = 15_000
+    densify_grad_threshold_coarse: float = 0.0002
+    densify_grad_threshold_fine_init: float = 0.0002
+    densify_grad_threshold_after: float = 0.0002
+    pruning_from_iter: int = 500
+    pruning_interval: int = 100
+    pruningy_until_iter: int = 4500  # [sic] name kept for config-file compat
+    opacity_threshold_coarse: float = 0.005
+    opacity_threshold_fine_init: float = 0.005
+    opacity_threshold_fine_after: float = 0.005
+    static_reconst: bool = False
+    static_reconst_iteration: int = 2000
+    bary_cleanup: int = 200
+    initial_gaussians: int = 2000
+    gaussian_init_factor: int = 2
+    no_coarse: bool = False
+    mesh_type: str = "multi"
+    white_background: bool = True  # scene configs set it in this group too
+    # TPU-tier knobs (ours)
+    raster_k_cap: int = 512
+    raster_k_chunk: int = 32
+
+
+@dataclasses.dataclass
+class MeshnetConfig:
+    """Reference MeshnetParams (arguments/__init__.py:162-173)."""
+
+    meshnet_path: str = ""
+    meshnet_file: str = "latest"
+    lr_init: float = 3e-4
+    lr_decay_rate: float = 0.1
+    lr_decay_steps: float = 5e6
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    opt: OptimizationConfig = dataclasses.field(default_factory=OptimizationConfig)
+    meshnet: MeshnetConfig = dataclasses.field(default_factory=MeshnetConfig)
+
+
+_GROUP_MAP = {
+    "ModelParams": "model",
+    "PipelineParams": "pipeline",
+    "OptimizationParams": "opt",
+    "MeshnetParams": "meshnet",
+    "ModelHiddenParams": None,  # k-planes config: vestigial in the reference
+}
+
+
+def apply_overrides(cfg: Config, group_dicts: dict[str, dict[str, Any]]) -> Config:
+    """Merge ``{'OptimizationParams': {...}, ...}`` dicts over the defaults."""
+    for group_name, values in group_dicts.items():
+        attr = _GROUP_MAP.get(group_name, group_name)
+        if attr is None:
+            continue
+        if not hasattr(cfg, attr):
+            raise KeyError(f"Unknown config group: {group_name}")
+        group = getattr(cfg, attr)
+        for key, value in values.items():
+            if hasattr(group, key):
+                setattr(group, key, value)
+            # unknown keys are ignored, matching merge_hparams behavior
+    return cfg
+
+
+def load_config_file(cfg: Config, path: str) -> Config:
+    """Overlay a reference-style python config file (e.g.
+    arguments/cloth_splatting/default.py)."""
+    ns = runpy.run_path(path)
+    groups = {k: v for k, v in ns.items() if k in _GROUP_MAP and isinstance(v, dict)}
+    return apply_overrides(cfg, groups)

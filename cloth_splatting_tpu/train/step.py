@@ -1,0 +1,338 @@
+"""The jitted Gaussian-splat train step + host-side schedule driver.
+
+The reference's train_step (scene_reconstruction/train_utils.py:240-321)
+renders <=3 cameras sequentially, backprops, then mutates tensors in-place
+for densification. Here the whole step is ONE compiled XLA program:
+
+  * the camera batch is vmapped over the renderer (the 3 consecutive-time
+    cameras are data-parallel until the loss reduction),
+  * one value_and_grad over (gaussian params, simulator params, screenspace
+    offsets) yields both Adam updates and the viewspace gradients density
+    control needs,
+  * Adam runs as ``optax.scale_by_adam`` with per-parameter-group learning
+    rates applied as a pytree multiply (the Gaussian position group follows
+    the log-linear schedule, reference gaussian_mesh.py:121-140),
+  * densification statistics update in-step; the densify/prune/reset ops are
+    separate jitted programs invoked on the host schedule (every ~100-200
+    iters), operating at fixed capacity (models/gaussians.py).
+
+The step is cached per (batch size, active SH degree, static flag, masks):
+a handful of recompiles over a whole run.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cloth_splatting_tpu.models import gaussians as G
+from cloth_splatting_tpu.models.deform import ResidualSimulatorParams
+from cloth_splatting_tpu.ops.image import psnr
+from cloth_splatting_tpu.render import CameraArrays, RenderOutput, render
+from cloth_splatting_tpu.train.config import Config
+from cloth_splatting_tpu.train.losses import image_losses, regularization
+from cloth_splatting_tpu.train.schedules import expon_lr
+
+
+class SplatTrainState(NamedTuple):
+    params: G.GaussianParams
+    gstate: G.GaussianState
+    g_opt: Any
+    sim_params: ResidualSimulatorParams
+    sim_opt: Any
+    step: jnp.ndarray       # scalar int32
+
+
+class StepMetrics(NamedTuple):
+    loss: jnp.ndarray
+    psnr: jnp.ndarray
+    l1: jnp.ndarray
+    n_alive: jnp.ndarray
+    n_dropped: jnp.ndarray
+
+
+class Trainer:
+    """Owns the compiled step programs for one scene."""
+
+    def __init__(self, cfg: Config, mesh: G.Mesh, mesh_predictions: jnp.ndarray,
+                 width: int, height: int, tanfovx: float, tanfovy: float,
+                 spatial_lr_scale: float):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.mesh_predictions = mesh_predictions
+        self.width, self.height = width, height
+        self.tanfovx, self.tanfovy = tanfovx, tanfovy
+        self.spatial_lr_scale = float(spatial_lr_scale)
+        self.g_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-15)
+        self.sim_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+        bg = [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
+        self.bg_color = jnp.asarray(bg, jnp.float32)
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: np.random.Generator,
+                   params: G.GaussianParams | None = None,
+                   gstate: G.GaussianState | None = None,
+                   sim_params: ResidualSimulatorParams | None = None) -> SplatTrainState:
+        from cloth_splatting_tpu.models.deform import init_residual_simulator
+
+        if params is None or gstate is None:
+            params, gstate = G.init_from_mesh(
+                rng, self.mesh, self.cfg.model.sh_degree,
+                self.cfg.opt.gaussian_init_factor,
+            )
+        if sim_params is None:
+            sim_params = init_residual_simulator(rng, int(self.mesh.pos.shape[0]))
+        return SplatTrainState(
+            params=params,
+            gstate=gstate,
+            g_opt=self.g_tx.init(params),
+            sim_params=sim_params,
+            sim_opt=self.sim_tx.init(sim_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return -1  # resolved from state at call sites
+
+    # ------------------------------------------------------------------ lr
+
+    def _lr_tree(self, step) -> G.GaussianParams:
+        o = self.cfg.opt
+        pos_lr = expon_lr(
+            step,
+            o.position_lr_init * self.spatial_lr_scale,
+            o.position_lr_final * self.spatial_lr_scale,
+            lr_delay_mult=o.position_lr_delay_mult,
+            max_steps=o.position_lr_max_steps,
+        )
+        return G.GaussianParams(
+            face_bary=pos_lr,
+            face_offset=pos_lr,
+            features_dc=o.feature_lr,
+            features_rest=o.feature_lr / 20.0,
+            opacity=o.opacity_lr,
+            scaling=o.scaling_lr,
+            rotation=o.rotation_lr,
+        )
+
+    # ------------------------------------------------------------------ step
+
+    @functools.partial(jax.jit, static_argnames=("self", "sh_degree", "static", "has_masks"))
+    def _step(self, state: SplatTrainState, cams: CameraArrays,
+              gt_images: jnp.ndarray, masks: jnp.ndarray | None,
+              sh_degree: int, static: bool, has_masks: bool):
+        o = self.cfg.opt
+        cap = state.params.face_bary.shape[0]
+
+        def loss_fn(params, sim_params, screen_offset):
+            def render_one(cam):
+                return render(
+                    cam, self.width, self.height, self.tanfovx, self.tanfovy,
+                    params, state.gstate, self.mesh, sim_params,
+                    self.mesh_predictions, self.bg_color, sh_degree,
+                    screen_offset=screen_offset, render_static=static,
+                    k_cap=o.raster_k_cap, k_chunk=o.raster_k_chunk,
+                )
+
+            outs: RenderOutput = jax.vmap(render_one)(cams)
+            images = outs.rgb                                   # [B, 3, H, W]
+            loss, ldict = image_losses(images, gt_images, o.lambda_dssim,
+                                       masks if has_masks else None)
+            loss = loss + regularization(
+                outs.vertices, self.mesh, o.lambda_deform_mag, o.lambda_rigid,
+                o.lambda_momentum, static,
+            )
+            aux = {
+                "psnr": jnp.mean(psnr(images, gt_images)),
+                "l1": ldict["l1"],
+                "radii": jnp.max(outs.radii, axis=0),           # [C]
+                "visibility": jnp.any(outs.visibility, axis=0),  # [C]
+                "n_dropped": jnp.sum(outs.n_dropped),
+            }
+            return loss, aux
+
+        screen_offset = jnp.zeros((cap, 2), jnp.float32)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            state.params, state.sim_params, screen_offset
+        )
+        g_grads, sim_grads, screen_grad = grads
+
+        # Density-control statistics (viewspace gradient norms summed over cams).
+        xy_grad_norm = jnp.linalg.norm(screen_grad, axis=-1)
+        gstate = G.add_densification_stats(state.gstate, xy_grad_norm,
+                                           aux["radii"], aux["visibility"])
+
+        # Gaussian Adam step with per-group LRs.
+        g_updates, g_opt = self.g_tx.update(g_grads, state.g_opt, state.params)
+        lr_tree = self._lr_tree(state.step)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u, lr: p - lr * u, state.params, g_updates, lr_tree
+        )
+
+        # Simulator Adam step (frozen during the static stage).
+        sim_updates, sim_opt = self.sim_tx.update(sim_grads, state.sim_opt, state.sim_params)
+        if static:
+            new_sim = state.sim_params
+            sim_opt = state.sim_opt
+        else:
+            new_sim = jax.tree_util.tree_map(
+                lambda p, u: p - self.cfg.meshnet.lr_init * u,
+                state.sim_params, sim_updates,
+            )
+
+        new_state = SplatTrainState(new_params, gstate, g_opt, new_sim, sim_opt,
+                                    state.step + 1)
+        metrics = StepMetrics(loss=loss, psnr=aux["psnr"], l1=aux["l1"],
+                              n_alive=G.num_alive(gstate), n_dropped=aux["n_dropped"])
+        return new_state, metrics
+
+    def step(self, state: SplatTrainState, cams: CameraArrays,
+             gt_images: jnp.ndarray, masks: jnp.ndarray | None,
+             sh_degree: int, static: bool):
+        return self._step(state, cams, gt_images, masks, sh_degree, static,
+                          masks is not None)
+
+    # ------------------------------------------------------ density control
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _densify(self, state: SplatTrainState, grad_threshold, rng_key):
+        o = self.cfg.opt
+        grads = state.gstate.grad_accum / jnp.maximum(state.gstate.denom, 1e-12)
+        grads = jnp.where(jnp.isnan(grads), 0.0, grads)
+
+        res_c = G.densify_clone(state.params, state.gstate, grads, grad_threshold,
+                                o.percent_dense, self.spatial_lr_scale)
+        res_s = G.densify_split(res_c.params, res_c.state, self.mesh, grads,
+                                grad_threshold, o.percent_dense,
+                                self.spatial_lr_scale, rng_key)
+        touched = res_c.touched | res_s.touched
+        cap = state.params.face_bary.shape[0]
+        g_opt = G.zero_opt_rows(state.g_opt, touched, cap)
+        # Reference resets all densification stats after a densify round
+        # (densification_postfix, gaussian_model.py:360-362).
+        gstate = res_s.state._replace(
+            grad_accum=jnp.zeros_like(res_s.state.grad_accum),
+            denom=jnp.zeros_like(res_s.state.denom),
+            max_radii2d=jnp.zeros_like(res_s.state.max_radii2d),
+        )
+        overflow = res_c.overflow + res_s.overflow
+        return state._replace(params=res_s.params, gstate=gstate, g_opt=g_opt), overflow
+
+    @functools.partial(jax.jit, static_argnames=("self", "use_size_threshold"))
+    def _prune(self, state: SplatTrainState, min_opacity, use_size_threshold: bool):
+        gstate = G.prune(state.params, state.gstate, min_opacity,
+                         self.spatial_lr_scale,
+                         20.0 if use_size_threshold else None)
+        return state._replace(gstate=gstate)
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _reset_opacity(self, state: SplatTrainState):
+        params, touched = G.reset_opacity(state.params)
+        cap = params.opacity.shape[0]
+        # Only the opacity leaf's moments need clearing; zero_opt_rows masks by
+        # row, so scope it via a tree that only touches opacity-shaped leaves.
+        g_opt = jax.tree_util.tree_map(
+            lambda leaf: (
+                jnp.zeros_like(leaf)
+                if isinstance(leaf, jnp.ndarray) and leaf.shape == params.opacity.shape
+                else leaf
+            ),
+            state.g_opt,
+        )
+        return state._replace(params=params, g_opt=g_opt)
+
+    # ------------------------------------------------------------- schedule
+
+    def density_control(self, state: SplatTrainState, iteration: int,
+                        rng_key) -> tuple[SplatTrainState, int]:
+        """Host-side schedule mirroring train_utils.py:294-345. Returns
+        (state, overflow count)."""
+        o = self.cfg.opt
+        overflow = 0
+        if iteration >= o.densify_until_iter:
+            return state, overflow
+
+        opacity_threshold = o.opacity_threshold_fine_init - iteration * (
+            o.opacity_threshold_fine_init - o.opacity_threshold_fine_after
+        ) / o.densify_until_iter
+        densify_threshold = o.densify_grad_threshold_fine_init - iteration * (
+            o.densify_grad_threshold_fine_init - o.densify_grad_threshold_after
+        ) / o.densify_until_iter
+
+        if iteration > o.densify_from_iter and iteration % o.densification_interval == 0:
+            state, ovf = self._densify(state, densify_threshold, rng_key)
+            overflow = int(ovf)
+        if iteration > o.pruning_from_iter and iteration % o.pruning_interval == 0:
+            state = self._prune(state, opacity_threshold,
+                                iteration > o.opacity_reset_interval)
+        if iteration % o.opacity_reset_interval == 0 or (
+            self.cfg.model.white_background and iteration == o.densify_from_iter
+        ):
+            state = self._reset_opacity(state)
+        return state, overflow
+
+    # --------------------------------------------------- barycentric cleanup
+
+    def cleanup_barycentric(self, state: SplatTrainState) -> SplatTrainState:
+        """Reassign Gaussians with negative barycentric coords to the adjacent
+        face (host-side, infrequent; parity: gaussian_mesh.py:266-322)."""
+        params, gstate = cleanup_barycentric_host(state.params, state.gstate, self.mesh)
+        return state._replace(params=params, gstate=gstate)
+
+
+def cleanup_barycentric_host(params: G.GaussianParams, gstate: G.GaussianState,
+                             mesh: G.Mesh) -> tuple[G.GaussianParams, G.GaussianState]:
+    """Numpy implementation of the barycentric cleanup.
+
+    For each alive Gaussian with a negative barycentric coordinate, move it to
+    the neighboring face sharing the edge opposite the offending vertex; if no
+    neighbor exists (mesh boundary), nudge the coordinate back inside.
+    """
+    bary = np.asarray(params.face_bary).copy()
+    face_ids = np.asarray(gstate.face_ids).copy()
+    alive = np.asarray(gstate.alive)
+    faces = np.asarray(mesh.faces)
+    pos = np.asarray(mesh.pos)
+
+    # edge (min(v1,v2), max(v1,v2)) -> faces containing it
+    from collections import defaultdict
+
+    edge2faces = defaultdict(list)
+    for f_idx, f in enumerate(faces):
+        for k in range(3):
+            e = (min(f[k], f[(k + 1) % 3]), max(f[k], f[(k + 1) % 3]))
+            edge2faces[e].append(f_idx)
+
+    xyz = np.einsum(
+        "cb,cbx->cx",
+        bary / np.maximum(bary.sum(1, keepdims=True), 1e-8),
+        pos[faces[face_ids]],
+    )
+
+    affected = np.argwhere((bary < 0) & alive[:, None])
+    for gi, bi in affected:
+        f = faces[face_ids[gi]]
+        others = np.delete(f, bi)
+        e = (min(others[0], others[1]), max(others[0], others[1]))
+        candidates = [c for c in edge2faces[e] if c != face_ids[gi]]
+        if not candidates:
+            bary[gi, bi] = 0.005
+            bary[gi] = bary[gi] / bary[gi].sum()
+        else:
+            new_face = candidates[0]
+            face_ids[gi] = new_face
+            tri = pos[faces[new_face]]
+            d = np.linalg.norm(xyz[gi][None] - tri, axis=1)
+            bary[gi] = d / d.sum()
+
+    return (
+        params._replace(face_bary=jnp.asarray(bary)),
+        gstate._replace(face_ids=jnp.asarray(face_ids)),
+    )

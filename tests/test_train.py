@@ -1,0 +1,233 @@
+"""End-to-end splat training tests on a synthetic cloth scene
+(SURVEY.md section 4 layer 4): our own renderer supplies the ground truth."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+from cloth_splatting_tpu.models import gaussians as G
+from cloth_splatting_tpu.models.deform import init_residual_simulator
+from cloth_splatting_tpu.ops.camera import Camera
+from cloth_splatting_tpu.ops.image import inverse_sigmoid
+from cloth_splatting_tpu.render import CameraArrays, camera_arrays, render
+from cloth_splatting_tpu.train.config import Config
+from cloth_splatting_tpu.train.step import Trainer
+
+W = H = 64
+FOV = 2 * np.arctan(0.4)
+
+
+def look_at_cameras(n=3, radius=3.0, time=0.0):
+    """Cameras on a small arc looking at the origin from -z."""
+    cams = []
+    for i in range(n):
+        ang = (i - (n - 1) / 2) * 0.3
+        # camera-to-world: camera at (sin a * r, 0, -cos a * r) looking at origin
+        fwd = np.asarray([-np.sin(ang), 0.0, np.cos(ang)])
+        up = np.asarray([0.0, 1.0, 0.0])
+        right = np.cross(up, fwd)
+        right /= np.linalg.norm(right)
+        up2 = np.cross(fwd, right)
+        c2w_rot = np.stack([right, up2, fwd], axis=1)   # columns
+        cam_pos = -fwd * radius
+        # world->cam: R_w2c = c2w_rot.T, t = -R_w2c @ cam_pos
+        r_w2c = c2w_rot.T
+        t = -r_w2c @ cam_pos
+        # loader convention: R stored transposed (camera.py world_to_view does R.T)
+        cams.append(Camera.create(R=r_w2c.T, t=t, fovx=FOV, fovy=FOV,
+                                  width=W, height=H, time=time))
+    return cams
+
+
+def stack_cams(cams):
+    arrs = [camera_arrays(c) for c in cams]
+    return CameraArrays(*[jnp.stack([getattr(a, f) for a in arrs]) for f in CameraArrays._fields])
+
+
+def make_cfg():
+    cfg = Config()
+    cfg.opt.raster_k_cap = 128
+    cfg.opt.raster_k_chunk = 16
+    cfg.opt.densify_from_iter = 10
+    cfg.opt.densification_interval = 25
+    cfg.opt.pruning_from_iter = 10
+    cfg.opt.pruning_interval = 25
+    cfg.opt.densify_until_iter = 1000
+    cfg.opt.opacity_reset_interval = 10_000
+    cfg.opt.densify_grad_threshold_fine_init = 1e-4
+    cfg.opt.densify_grad_threshold_after = 1e-4
+    return cfg
+
+
+def make_target_scene(mesh, cfg, seed=42):
+    """A 'ground truth' Gaussian field: patterned colors, solid opacity."""
+    rng = np.random.default_rng(seed)
+    params, state = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+    xyz = G.gaussian_positions(params, state, mesh)
+    colors = jnp.stack([
+        0.5 + 0.5 * jnp.sin(7 * xyz[:, 0]),
+        0.5 + 0.5 * jnp.cos(9 * xyz[:, 1]),
+        jnp.full_like(xyz[:, 0], 0.4),
+    ], axis=1)
+    from cloth_splatting_tpu.ops.sh import rgb_to_sh
+    params = params._replace(
+        features_dc=rgb_to_sh(colors)[:, None, :],
+        opacity=jnp.full_like(params.opacity, inverse_sigmoid(jnp.asarray(0.9))),
+        scaling=params.scaling + 0.3,
+    )
+    return params, state
+
+
+def render_gt(cams, params, state, mesh, cfg, sim_params=None, preds=None):
+    outs = []
+    for c in cams:
+        out = render(camera_arrays(c), W, H, np.tan(FOV / 2), np.tan(FOV / 2),
+                     params, state, mesh, sim_params, preds,
+                     jnp.ones(3), cfg.model.sh_degree,
+                     render_static=sim_params is None, k_cap=128, k_chunk=16)
+        outs.append(out.rgb)
+    return jnp.stack(outs)
+
+
+@pytest.fixture(scope="module")
+def scene():
+    mesh = grid_cloth_mesh(8, 8, size=1.4)
+    cfg = make_cfg()
+    gt_params, gt_state = make_target_scene(mesh, cfg)
+    cams = look_at_cameras(3)
+    gt_images = render_gt(cams, gt_params, gt_state, mesh, cfg)
+    return mesh, cfg, cams, gt_images
+
+
+class TestStaticFit:
+    def test_static_overfit_improves_psnr(self, scene):
+        mesh, cfg, cams, gt_images = scene
+        preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2), np.tan(FOV / 2),
+                          spatial_lr_scale=3.0)
+        rng = np.random.default_rng(0)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        cam_batch = stack_cams(cams)
+
+        psnr_first = None
+        key = jax.random.PRNGKey(0)
+        for it in range(1, 201):
+            state, metrics = trainer.step(state, cam_batch, gt_images, None,
+                                          sh_degree=0, static=True)
+            if psnr_first is None:
+                psnr_first = float(metrics.psnr)
+        psnr_last = float(metrics.psnr)
+        assert np.isfinite(psnr_last)
+        assert psnr_last > psnr_first + 4.0, (psnr_first, psnr_last)
+        assert psnr_last > 15.5, psnr_last
+
+    def test_density_control_cycle(self, scene):
+        mesh, cfg, cams, gt_images = scene
+        preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2), np.tan(FOV / 2),
+                          spatial_lr_scale=3.0)
+        rng = np.random.default_rng(1)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        cam_batch = stack_cams(cams)
+        n0 = int(G.num_alive(state.gstate))
+
+        key = jax.random.PRNGKey(1)
+        grew = False
+        for it in range(1, 80):
+            state, metrics = trainer.step(state, cam_batch, gt_images, None,
+                                          sh_degree=0, static=True)
+            key, sub = jax.random.split(key)
+            state, _ = trainer.density_control(state, it, sub)
+            n = int(G.num_alive(state.gstate))
+            if n > n0:
+                grew = True
+        assert grew, "densification never added gaussians"
+        assert int(G.num_alive(state.gstate)) <= 512
+
+    def test_opacity_reset(self, scene):
+        mesh, cfg, cams, _ = scene
+        preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2), np.tan(FOV / 2), 3.0)
+        rng = np.random.default_rng(2)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        state = trainer._reset_opacity(state)
+        assert float(jnp.max(G.get_opacity(state.params))) <= 0.0101
+
+
+class TestDynamicFit:
+    def test_dynamic_fit_runs_and_learns(self, scene):
+        mesh, cfg, cams0, _ = scene
+        # mesh predictions: cloth translating along +y over 3 timesteps
+        shift = jnp.asarray([0.0, 0.25, 0.0])
+        preds = jnp.stack([mesh.pos + t * shift for t in range(3)])
+        gt_params, gt_state = make_target_scene(mesh, cfg, seed=7)
+        sim_gt = init_residual_simulator(np.random.default_rng(3), int(mesh.pos.shape[0]))
+
+        times = [0.0, 0.5, 1.0]
+        cams = [look_at_cameras(1, time=t)[0] for t in times]
+        gt_images = jnp.concatenate([
+            render_gt([c], gt_params, gt_state, mesh, cfg, sim_params=sim_gt, preds=preds)
+            for c in cams
+        ])
+
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2), np.tan(FOV / 2), 3.0)
+        rng = np.random.default_rng(4)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        cam_batch = stack_cams(cams)
+
+        losses = []
+        for it in range(60):
+            state, metrics = trainer.step(state, cam_batch, gt_images, None,
+                                          sh_degree=0, static=False)
+            losses.append(float(metrics.loss))
+        assert np.isfinite(losses[-1])
+        assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+
+    def test_simulator_gradient_flow(self, scene):
+        """Simulator params must change during dynamic training."""
+        mesh, cfg, cams, gt_images = scene
+        preds = jnp.stack([mesh.pos + 0.05 * t for t in range(3)])
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2), np.tan(FOV / 2), 3.0)
+        rng = np.random.default_rng(5)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        cam_batch = stack_cams(cams)
+        w_before = np.asarray(state.sim_params.w_out).copy()
+        state, _ = trainer.step(state, cam_batch, gt_images, None,
+                                sh_degree=0, static=False)
+        assert not np.allclose(np.asarray(state.sim_params.w_out), w_before)
+
+    def test_static_freezes_simulator(self, scene):
+        mesh, cfg, cams, gt_images = scene
+        preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2), np.tan(FOV / 2), 3.0)
+        rng = np.random.default_rng(6)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        cam_batch = stack_cams(cams)
+        w_before = np.asarray(state.sim_params.w_out).copy()
+        state, _ = trainer.step(state, cam_batch, gt_images, None,
+                                sh_degree=0, static=True)
+        np.testing.assert_array_equal(np.asarray(state.sim_params.w_out), w_before)
+
+
+class TestBaryCleanup:
+    def test_negative_bary_reassigned(self, scene):
+        mesh, cfg, _, _ = scene
+        rng = np.random.default_rng(8)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+        bary = np.asarray(params.face_bary).copy()
+        bary[0] = [-0.2, 0.6, 0.6]
+        params = params._replace(face_bary=jnp.asarray(bary))
+        from cloth_splatting_tpu.train.step import cleanup_barycentric_host
+        new_params, new_state = cleanup_barycentric_host(params, gstate, mesh)
+        nb = np.asarray(new_params.face_bary)
+        assert (nb[0] >= 0).all()
