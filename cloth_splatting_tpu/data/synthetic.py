@@ -1,0 +1,165 @@
+"""Synthetic cloth-scene generator.
+
+Produces datasets in the exact on-disk format the reference consumes
+(SURVEY.md section 2.2 Scene loading): ``transforms_{train,test}.json`` with
+``r_<view>_<time>`` frames, ``init_mesh.hdf5``, ``mesh_predictions/
+mesh_%03d.hdf5`` and a ground-truth trajectory ``gt.npz`` — but rendered with
+OUR splat renderer instead of Blender (SURVEY.md section 2.1, Blender row:
+dataset generation is not TPU work; for CI we synthesize with the framework's
+own renderer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cloth_splatting_tpu.data.mesh_io import save_mesh_h5, save_positions_h5
+from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+from cloth_splatting_tpu.models import gaussians as G
+from cloth_splatting_tpu.ops.camera import Camera
+from cloth_splatting_tpu.ops.image import inverse_sigmoid
+from cloth_splatting_tpu.ops.sh import rgb_to_sh
+from cloth_splatting_tpu.render import camera_arrays, render
+
+
+def cloth_wave(pos: np.ndarray, t: float, amp: float = 0.15) -> np.ndarray:
+    """Analytic cloth deformation: a traveling wave + drift in z."""
+    x, y = pos[:, 0], pos[:, 1]
+    z = pos[:, 2] + amp * np.sin(4.0 * x + 6.0 * t) * np.cos(3.0 * y) * t
+    out = pos.copy()
+    out[:, 2] = z
+    out[:, 1] = y + 0.1 * t
+    return out
+
+
+def orbit_camera(view: int, n_views: int, fov: float, width: int, height: int,
+                 time: float, radius: float = 3.0, elevation: float = 0.6
+                 ) -> Camera:
+    ang = 2.0 * np.pi * view / n_views
+    cam_pos = np.asarray([
+        radius * np.cos(elevation) * np.sin(ang),
+        radius * np.sin(elevation),
+        -radius * np.cos(elevation) * np.cos(ang),
+    ])
+    fwd = -cam_pos / np.linalg.norm(cam_pos)
+    up = np.asarray([0.0, 1.0, 0.0])
+    right = np.cross(up, fwd)
+    right = right / np.linalg.norm(right)
+    up2 = np.cross(fwd, right)
+    r_w2c = np.stack([right, up2, fwd], axis=0)
+    t = -r_w2c @ cam_pos
+    return Camera.create(R=r_w2c.T, t=t, fovx=fov, fovy=fov, width=width,
+                         height=height, time=time)
+
+
+def camera_to_transform_matrix(cam: Camera) -> np.ndarray:
+    """Invert the loader's convention back to an OpenGL c2w for the json."""
+    w2c = np.asarray(cam.world_view).T.copy()   # column-vector W2C
+    c2w = np.linalg.inv(w2c)
+    c2w[:3, 1:3] *= -1
+    return c2w
+
+
+def target_gaussians(mesh, sh_degree: int, seed: int = 0):
+    """A textured 'ground truth' Gaussian field anchored on the mesh."""
+    rng = np.random.default_rng(seed)
+    params, state = G.init_from_mesh(rng, mesh, sh_degree, 2,
+                                     capacity=G.round_capacity(2 * int(mesh.faces.shape[0])))
+    xyz = G.gaussian_positions(params, state, mesh)
+    colors = jnp.stack([
+        0.55 + 0.4 * jnp.sin(6.0 * xyz[:, 0]) * jnp.cos(4.0 * xyz[:, 1]),
+        0.5 + 0.35 * jnp.cos(8.0 * xyz[:, 0]),
+        0.45 + 0.3 * jnp.sin(5.0 * xyz[:, 1]),
+    ], axis=1)
+    params = params._replace(
+        features_dc=rgb_to_sh(jnp.clip(colors, 0.05, 0.95))[:, None, :],
+        opacity=jnp.full_like(params.opacity, inverse_sigmoid(jnp.asarray(0.95))),
+        scaling=params.scaling + 0.2,
+    )
+    return params, state
+
+
+def generate_synthetic_scene(
+    out_dir: str,
+    n_views: int = 6,
+    n_times: int = 5,
+    image_size: int = 128,
+    mesh_res: int = 10,
+    fov: float = 2 * np.arctan(0.4),
+    white_background: bool = True,
+    test_views: tuple[int, ...] = (1, 4),
+    prediction_noise: float = 0.0,
+    seed: int = 0,
+) -> str:
+    """Render a full synthetic dataset; returns out_dir.
+
+    ``prediction_noise`` perturbs the saved mesh_predictions relative to the
+    true trajectory, emulating imperfect GNN rollouts (the setting train.py's
+    residual simulator exists to fix).
+    """
+    import imageio.v2 as imageio
+
+    os.makedirs(out_dir, exist_ok=True)
+    rest_mesh = grid_cloth_mesh(mesh_res, mesh_res, size=1.4)
+    params, state = target_gaussians(rest_mesh, sh_degree=3, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+
+    rest = np.asarray(rest_mesh.pos)
+    times = np.linspace(0.0, 1.0, n_times)
+    traj = np.stack([cloth_wave(rest, t) for t in times])           # [T, V, 3]
+
+    # meshes on disk
+    save_mesh_h5(os.path.join(out_dir, "init_mesh.hdf5"), rest_mesh)
+    for i, t in enumerate(times):
+        pred = traj[i] + (rng.normal(0, prediction_noise, rest.shape)
+                          if prediction_noise > 0 else 0.0)
+        save_positions_h5(os.path.join(out_dir, "mesh_predictions", f"mesh_{i:03d}.hdf5"),
+                          rest_mesh, pred.astype(np.float32))
+
+    # gaussian ground-truth trajectory for tracking eval
+    xyz_t = np.stack([
+        np.asarray(G.gaussian_positions(params, state, rest_mesh, jnp.asarray(traj[i])))
+        [np.asarray(state.alive)]
+        for i in range(n_times)
+    ])
+    np.savez(os.path.join(out_dir, "gt.npz"), traj=xyz_t)
+
+    bg = jnp.ones(3) if white_background else jnp.zeros(3)
+    frames_train, frames_test = [], []
+    for ti, t in enumerate(times):
+        verts = jnp.asarray(traj[ti])
+        for vi in range(n_views):
+            cam = orbit_camera(vi, n_views, fov, image_size, image_size, float(t))
+            out = render(camera_arrays(cam), image_size, image_size,
+                         cam.tanfovx, cam.tanfovy, params, state, rest_mesh,
+                         None, None, bg, 3, render_static=True,
+                         override_vertices=verts, k_cap=256, k_chunk=16)
+            img = np.asarray(jnp.clip(out.rgb, 0, 1) * 255).astype(np.uint8)
+            img = img.transpose(1, 2, 0)
+            alpha = np.asarray(jnp.clip(out.alpha[0], 0, 1) * 255).astype(np.uint8)
+            rgba = np.concatenate([img, alpha[..., None]], axis=-1)
+            split = "test" if vi in test_views else "train"
+            sub = os.path.join(out_dir, split)
+            os.makedirs(sub, exist_ok=True)
+            name = f"r_{vi}_{ti}"
+            imageio.imwrite(os.path.join(sub, name + ".png"), rgba)
+            frame = {
+                "file_path": f"{split}/{name}",
+                "time": float(t),
+                "transform_matrix": camera_to_transform_matrix(cam).tolist(),
+            }
+            (frames_test if vi in test_views else frames_train).append(frame)
+
+    for split, frames in (("train", frames_train), ("test", frames_test)):
+        meta = {
+            "camera_angle_x": float(fov),
+            "camera_angle_y": float(fov),
+            "frames": frames,
+        }
+        with open(os.path.join(out_dir, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+    return out_dir

@@ -80,11 +80,20 @@ def render(
     render_static: bool = False,
     scaling_modifier: float = 1.0,
     override_color: jnp.ndarray | None = None,
+    override_vertices: jnp.ndarray | None = None,
     k_cap: int = 512,
     k_chunk: int = 32,
 ) -> RenderOutput:
-    """Render one camera. ``sh_degree`` is the ACTIVE degree (static int)."""
-    if render_static or sim_params is None:
+    """Render one camera. ``sh_degree`` is the ACTIVE degree (static int).
+
+    ``override_vertices`` renders the Gaussians at explicitly given deformed
+    vertices (bypassing the simulator) — used by dataset synthesis and eval.
+    """
+    if override_vertices is not None:
+        vertices = override_vertices
+        means3d = gaussian_positions(params, state, mesh, vertices)
+        rotations = gaussian_rotations(params, state, mesh, vertices)
+    elif render_static or sim_params is None:
         vertices = mesh.pos
         means3d = gaussian_positions(params, state, mesh)
         rotations = quat_normalize(params.rotation)

@@ -1,0 +1,201 @@
+"""Full scene-optimization loop (the reference's ``scene_reconstruction``,
+train.py:90-221): static stage -> dynamic stage with 3-step camera batches,
+density control + barycentric cleanup on schedule, SH-degree annealing, EMA
+progress, held-out evaluation and PLY/simulator checkpointing.
+
+TPU layout: all camera matrices and uint8 images are uploaded ONCE into
+(view x time) banks; each iteration is a single compiled step addressed by
+(view_idx, time_ids).
+"""
+
+from __future__ import annotations
+
+import os
+import time as time_mod
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cloth_splatting_tpu.data.scene import CameraGrid, ClothScene, decode_image, decode_mask
+from cloth_splatting_tpu.models import gaussians as G
+from cloth_splatting_tpu.ops.image import psnr as psnr_fn
+from cloth_splatting_tpu.render import CameraArrays, camera_arrays, render
+from cloth_splatting_tpu.train.config import Config
+from cloth_splatting_tpu.train.step import SplatTrainState, Trainer
+from cloth_splatting_tpu.utils.logging import MetricsLogger
+
+
+def build_banks(grid: CameraGrid, white_background: bool):
+    """Decode every frame once into device banks.
+
+    Returns (cam_bank [V,T,...], gt_bank uint8 [V,T,3,H,W], mask_bank or None).
+    """
+    v, t = grid.n_views, grid.n_times
+    cam0 = grid.get(0, 0).camera
+    h, w = cam0.height, cam0.width
+    cams = []
+    gts = np.zeros((v, t, 3, h, w), dtype=np.uint8)
+    any_mask = any(r.mask_path for r in grid.records)
+    masks = np.ones((v, t, 1, h, w), dtype=np.float32) if any_mask else None
+    for vi in range(v):
+        row = []
+        for ti in range(t):
+            rec = grid.get(vi, ti)
+            row.append(camera_arrays(rec.camera))
+            if rec.image_path:
+                gts[vi, ti] = decode_image(rec.image_path, white_background)
+            if any_mask and rec.mask_path and os.path.exists(rec.mask_path):
+                masks[vi, ti] = decode_mask(rec.mask_path)
+        cams.append(row)
+    cam_bank = CameraArrays(*[
+        jnp.stack([jnp.stack([getattr(cams[vi][ti], f) for ti in range(t)])
+                   for vi in range(v)])
+        for f in CameraArrays._fields
+    ])
+    return cam_bank, jnp.asarray(gts), (jnp.asarray(masks) if masks is not None else None)
+
+
+def evaluate_split(trainer: Trainer, state: SplatTrainState, grid: CameraGrid,
+                   white_background: bool, sh_degree: int,
+                   max_cameras: int = 20) -> dict[str, float]:
+    """Held-out L1/PSNR over (a subset of) a camera grid."""
+    records = grid.records[:max_cameras]
+    psnrs, l1s = [], []
+    for rec in records:
+        out = render(
+            camera_arrays(rec.camera), trainer.width, trainer.height,
+            trainer.tanfovx, trainer.tanfovy, state.params, state.gstate,
+            trainer.mesh, state.sim_params, trainer.mesh_predictions,
+            trainer.bg_color, sh_degree,
+            k_cap=trainer.cfg.opt.raster_k_cap, k_chunk=trainer.cfg.opt.raster_k_chunk,
+        )
+        gt = jnp.asarray(decode_image(rec.image_path, white_background),
+                         jnp.float32) / 255.0
+        img = jnp.clip(out.rgb, 0.0, 1.0)
+        psnrs.append(float(psnr_fn(img, gt)))
+        l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+    return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
+
+
+def save_scene_checkpoint(out_dir: str, iteration: int, trainer: Trainer,
+                          state: SplatTrainState) -> None:
+    """PLY (+mesh.hdf5) + simulator weights, reference directory layout
+    (train.py:196-203)."""
+    from cloth_splatting_tpu.data.mesh_io import save_mesh_h5
+    from cloth_splatting_tpu.data.ply_io import gaussian_ply_columns, write_ply
+    from cloth_splatting_tpu.utils import checkpoints
+
+    pc_dir = os.path.join(out_dir, "point_cloud", f"iteration_{iteration}")
+    os.makedirs(pc_dir, exist_ok=True)
+    alive = np.asarray(state.gstate.alive)
+    p = state.params
+    xyz = np.asarray(G.gaussian_positions(p, state.gstate, trainer.mesh))
+    cols = gaussian_ply_columns(
+        xyz[alive],
+        np.asarray(p.features_dc)[alive],
+        np.asarray(p.features_rest)[alive],
+        np.asarray(p.opacity)[alive],
+        np.asarray(p.scaling)[alive],
+        np.asarray(p.rotation)[alive],
+        face_bary=np.asarray(p.face_bary)[alive],
+        face_offset=np.asarray(p.face_offset)[alive],
+        face_ids=np.asarray(state.gstate.face_ids)[alive],
+    )
+    write_ply(os.path.join(pc_dir, "point_cloud.ply"), cols)
+    save_mesh_h5(os.path.join(pc_dir, "mesh.hdf5"), trainer.mesh)
+
+    meshnet_dir = os.path.join(out_dir, "meshnet")
+    os.makedirs(meshnet_dir, exist_ok=True)
+    checkpoints.save_pytree(os.path.join(meshnet_dir, f"model-{iteration}.npz"),
+                            state.sim_params._asdict())
+
+
+def train_scene(
+    cfg: Config,
+    scene: ClothScene,
+    out_dir: str,
+    test_iterations: Sequence[int] = (),
+    save_iterations: Sequence[int] = (),
+    seed: int = 6666,
+    progress_every: int = 50,
+    on_iteration: Optional[Callable[[int, dict], None]] = None,
+) -> SplatTrainState:
+    """Run the full static+dynamic optimization for one scene."""
+    os.makedirs(out_dir, exist_ok=True)
+    o = cfg.opt
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    mesh = scene.initial_mesh
+    preds = jnp.asarray(scene.mesh_predictions)
+    cam0 = scene.train.get(0, 0).camera
+    trainer = Trainer(cfg, mesh, preds, cam0.width, cam0.height,
+                      cam0.tanfovx, cam0.tanfovy, scene.radius)
+    state = trainer.init_state(rng)
+    cam_bank, gt_bank, mask_bank = build_banks(scene.train, scene.white_background)
+
+    logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
+    sh_degree = 0
+    ema_loss, ema_psnr = 0.0, 0.0
+    n_times = scene.train.n_times
+    t_start = time_mod.time()
+
+    for iteration in range(1, o.iterations + 1):
+        static = o.static_reconst and iteration < o.static_reconst_iteration
+
+        if iteration % 1000 == 0 and sh_degree < cfg.model.sh_degree:
+            sh_degree += 1
+
+        if static:
+            vi = iteration % scene.train.n_views
+            t_ids = [0]
+        else:
+            vi = int(rng.integers(scene.train.n_views))
+            if n_times >= 3:
+                mid = int(rng.integers(1, n_times - 1))
+                t_ids = [mid - 1, mid, mid + 1]
+            else:
+                t_ids = list(range(n_times))
+
+        state, metrics = trainer.step_banked(
+            state, cam_bank, gt_bank, mask_bank, vi, t_ids,
+            sh_degree=sh_degree, static=static,
+        )
+
+        key, sub = jax.random.split(key)
+        state, overflow = trainer.density_control(state, iteration, sub)
+        if overflow:
+            print(f"[iter {iteration}] densify overflow: {overflow} "
+                  f"(capacity {state.params.face_bary.shape[0]})")
+
+        if iteration % o.bary_cleanup == 0:
+            state = trainer.cleanup_barycentric(state)
+
+        loss = float(metrics.loss)
+        psnr = float(metrics.psnr)
+        ema_loss = 0.4 * loss + 0.6 * ema_loss
+        ema_psnr = 0.4 * psnr + 0.6 * ema_psnr
+        if iteration % progress_every == 0:
+            n_alive = int(metrics.n_alive)
+            rate = iteration / (time_mod.time() - t_start)
+            print(f"[{'static' if static else 'dyn'} {iteration}/{o.iterations}] "
+                  f"loss={ema_loss:.5f} psnr={ema_psnr:.2f} gaussians={n_alive} "
+                  f"({rate:.1f} it/s)")
+            logger.log(iteration, loss=loss, psnr=psnr, n_gaussians=n_alive,
+                       iters_per_sec=rate)
+
+        if iteration in test_iterations:
+            ev = evaluate_split(trainer, state, scene.test,
+                                scene.white_background, sh_degree)
+            print(f"[ITER {iteration}] test psnr={ev['psnr']:.2f} l1={ev['l1']:.4f}")
+            logger.log(iteration, test_psnr=ev["psnr"], test_l1=ev["l1"])
+
+        if iteration in save_iterations:
+            save_scene_checkpoint(out_dir, iteration, trainer, state)
+
+        if on_iteration is not None:
+            on_iteration(iteration, {"loss": loss, "psnr": psnr})
+
+    return state

@@ -125,9 +125,34 @@ class Trainer:
     # ------------------------------------------------------------------ step
 
     @functools.partial(jax.jit, static_argnames=("self", "sh_degree", "static", "has_masks"))
+    def _step_banked(self, state: SplatTrainState, cam_bank: CameraArrays,
+                     gt_bank: jnp.ndarray, mask_bank: jnp.ndarray | None,
+                     view_idx: jnp.ndarray, time_ids: jnp.ndarray,
+                     sh_degree: int, static: bool, has_masks: bool):
+        """Step addressing an on-device (view x time) camera/image bank by
+        index — the whole sampling+training iteration is one XLA program with
+        zero host->device transfer."""
+        cams = jax.tree_util.tree_map(lambda a: a[view_idx, time_ids], cam_bank)
+        gts = gt_bank[view_idx, time_ids].astype(jnp.float32) / 255.0
+        masks = mask_bank[view_idx, time_ids] if has_masks else None
+        return self._step_inner(state, cams, gts, masks, sh_degree, static, has_masks)
+
+    def step_banked(self, state, cam_bank, gt_bank, mask_bank, view_idx, time_ids,
+                    sh_degree: int, static: bool):
+        return self._step_banked(state, cam_bank, gt_bank, mask_bank,
+                                 jnp.asarray(view_idx, jnp.int32),
+                                 jnp.asarray(time_ids, jnp.int32),
+                                 sh_degree, static, mask_bank is not None)
+
+    @functools.partial(jax.jit, static_argnames=("self", "sh_degree", "static", "has_masks"))
     def _step(self, state: SplatTrainState, cams: CameraArrays,
               gt_images: jnp.ndarray, masks: jnp.ndarray | None,
               sh_degree: int, static: bool, has_masks: bool):
+        return self._step_inner(state, cams, gt_images, masks, sh_degree, static, has_masks)
+
+    def _step_inner(self, state: SplatTrainState, cams: CameraArrays,
+                    gt_images: jnp.ndarray, masks: jnp.ndarray | None,
+                    sh_degree: int, static: bool, has_masks: bool):
         o = self.cfg.opt
         cap = state.params.face_bary.shape[0]
 
