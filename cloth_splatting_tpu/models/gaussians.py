@@ -35,7 +35,7 @@ from cloth_splatting_tpu.ops.image import inverse_sigmoid
 from cloth_splatting_tpu.ops.quaternion import quat_to_rotmat
 from cloth_splatting_tpu.ops.sh import rgb_to_sh
 
-CAPACITY_ROUND = 4096
+CAPACITY_ROUND = 512
 
 
 class GaussianParams(NamedTuple):
@@ -225,7 +225,10 @@ def gaussian_positions(params: GaussianParams, state: GaussianState, mesh: Mesh,
     tri = verts[mesh.faces[state.face_ids]]                   # [C, 3, 3]
     bsum = jnp.sum(params.face_bary, axis=1, keepdims=True)
     norm_bary = params.face_bary / jnp.where(jnp.abs(bsum) < 1e-8, 1e-8, bsum)
-    return jnp.einsum("cb,cbx->cx", norm_bary, tri)
+    # expanded barycentric blend (no batched matmul; see ops/smallmat.py)
+    return (norm_bary[:, 0:1] * tri[:, 0]
+            + norm_bary[:, 1:2] * tri[:, 1]
+            + norm_bary[:, 2:3] * tri[:, 2])
 
 
 def _triangle_frames(tri: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
@@ -253,12 +256,13 @@ def face_rotations(mesh: Mesh, deformed_vertices: jnp.ndarray) -> jnp.ndarray:
     SVDs.
     """
     from cloth_splatting_tpu.ops.quaternion import rotmat_to_quat
+    from cloth_splatting_tpu.ops.smallmat import bmm33_nt
 
     rest = mesh.pos[mesh.faces]            # [F, 3, 3]
     deformed = deformed_vertices[mesh.faces]
     f_rest = _triangle_frames(rest)
     f_def = _triangle_frames(deformed)
-    r = jnp.einsum("fij,fkj->fik", f_def, f_rest)  # F_def @ F_rest^T
+    r = bmm33_nt(f_def, f_rest)            # F_def @ F_rest^T
     return rotmat_to_quat(r)
 
 
@@ -355,10 +359,12 @@ def densify_split(params: GaussianParams, state: GaussianState, mesh: Mesh,
     max_scale = jnp.max(scaling, axis=1)
     sel = (grads >= grad_threshold) & (max_scale > percent_dense * scene_extent) & state.alive
 
+    from cloth_splatting_tpu.ops.smallmat import bmv3
+
     xyz = gaussian_positions(params, state, mesh)
     rots = quat_to_rotmat(params.rotation)
     eps = jax.random.normal(rng_key, (n_split,) + scaling.shape)  # [2, C, 3]
-    jitter = jnp.einsum("cij,ncj->nci", rots, eps * scaling[None])
+    jitter = jnp.stack([bmv3(rots, eps[i] * scaling) for i in range(n_split)])
     child_xyz = xyz[None] + jitter                                 # [2, C, 3]
     tri = mesh.pos[mesh.faces[state.face_ids]]                     # [C, 3, 3]
     child_bary = jax.vmap(lambda p: barycentric_coordinates(p, tri))(child_xyz)

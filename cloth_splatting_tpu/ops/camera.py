@@ -117,8 +117,9 @@ def project_points(points: jnp.ndarray, full_proj: jnp.ndarray,
 
     Returns [N, 2] pixel coords (x, y).
     """
-    ones = jnp.ones_like(points[..., :1])
-    hom = jnp.concatenate([points, ones], axis=-1) @ full_proj  # [N, 4]
+    from cloth_splatting_tpu.ops.smallmat import affine4_shared
+
+    hom = affine4_shared(points, full_proj)  # [N, 4]
     ndc = hom[..., :2] / (hom[..., 3:4] + eps)
     px = (ndc[..., 0] + 1.0) * width * 0.5 - 0.5
     py = (ndc[..., 1] + 1.0) * height * 0.5 - 0.5

@@ -9,9 +9,11 @@ diagonal, conic inverse, 3-sigma radius from the max eigenvalue, near-plane
 cull at z<=0.2, and alpha = opacity * exp(-0.5 d^T conic d) clamped at 0.99
 with a 1/255 contribution floor.
 
-Everything is fully batched [N, ...] with no data-dependent shapes, so XLA
-fuses it into a handful of elementwise ops + one small matmul chain on the
-MXU. Differentiable end-to-end by construction.
+All small-matrix algebra is elementwise-expanded (ops/smallmat.py): XLA's
+batched-tiny-matmul lowering is pathological on TPU, and the expansions fuse
+into one VPU kernel. Covariances travel PACKED as [N, 6] upper triangles.
+Everything is [N]-batched with no data-dependent shapes; differentiable
+end-to-end by construction.
 """
 
 from __future__ import annotations
@@ -21,6 +23,11 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from cloth_splatting_tpu.ops.quaternion import quat_to_rotmat
+from cloth_splatting_tpu.ops.smallmat import (
+    affine4_shared,
+    sym33_from_rs,
+    sym33_quadform2,
+)
 
 NEAR_CULL_Z = 0.2
 ALPHA_MAX = 0.99
@@ -35,7 +42,7 @@ POWER_CUTOFF = -4.5
 # shrunk proportionally (power_cut scaled) so it still fits the binning rect.
 # The training pipeline prunes Gaussians with screen radius > 20 px anyway
 # (reference: gaussian_model.py:408-416, size_threshold=20).
-MAX_SPLAT_RADIUS = 32.0
+MAX_SPLAT_RADIUS = 24.0
 
 
 class ProjectedGaussians(NamedTuple):
@@ -57,23 +64,20 @@ class ProjectedGaussians(NamedTuple):
 
 def build_covariance(scales: jnp.ndarray, quats: jnp.ndarray,
                      scale_modifier: float = 1.0) -> jnp.ndarray:
-    """Full 3D covariance [N, 3, 3] from activated scales and WXYZ quaternions.
+    """Packed 3D covariance [N, 6] (xx, xy, xz, yy, yz, zz) from activated
+    scales and WXYZ quaternions.
 
     Sigma = R S S^T R^T (reference contract: utils/general_utils.py:104-113 +
-    gaussian_model.py:28-37).
+    gaussian_model.py:28-37), expanded elementwise.
     """
-    R = quat_to_rotmat(quats)                      # [N, 3, 3]
-    S = scales * scale_modifier                    # [N, 3]
-    RS = R * S[:, None, :]                         # R @ diag(S)
-    return jnp.einsum("nij,nkj->nik", RS, RS)      # RS @ RS^T
+    r = quat_to_rotmat(quats)
+    s2 = (scales * scale_modifier) ** 2
+    return sym33_from_rs(r, s2)
 
 
-def covariance_strip(cov: jnp.ndarray) -> jnp.ndarray:
-    """Symmetric [N, 3, 3] -> packed upper triangle [N, 6] (3DGS PLY layout)."""
-    return jnp.stack(
-        [cov[:, 0, 0], cov[:, 0, 1], cov[:, 0, 2], cov[:, 1, 1], cov[:, 1, 2], cov[:, 2, 2]],
-        axis=-1,
-    )
+def covariance_strip(cov_packed: jnp.ndarray) -> jnp.ndarray:
+    """Identity (covariances already travel packed, 3DGS PLY layout)."""
+    return cov_packed
 
 
 def project_gaussians(
@@ -93,7 +97,7 @@ def project_gaussians(
 
     Args:
         means3d: [N, 3] world positions.
-        cov3d: [N, 3, 3] world-space covariance.
+        cov3d: [N, 6] packed world-space covariance.
         colors: [N, 3] RGB colors (post-SH).
         opacities: [N] activated opacity.
         world_view: [4, 4] row-vector W2C (camera.world_view).
@@ -102,20 +106,15 @@ def project_gaussians(
         tanfovx, tanfovy: half-FoV tangents.
         alive: optional [N] bool mask for capacity-padded fields.
     """
-    n = means3d.shape[0]
-    ones = jnp.ones((n, 1), dtype=means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=1)
-
     # Camera space (row-vector convention).
-    t_cam = hom @ world_view            # [N, 4]
+    t_cam = affine4_shared(means3d, world_view)          # [N, 4]
     tz = t_cam[:, 2]
 
     # Clip space -> NDC -> pixels.
-    p_hom = hom @ full_proj             # [N, 4]
+    p_hom = affine4_shared(means3d, full_proj)           # [N, 4]
     p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    ndc = p_hom[:, :3] * p_w[:, None]
-    px = (ndc[:, 0] + 1.0) * width * 0.5 - 0.5
-    py = (ndc[:, 1] + 1.0) * height * 0.5 - 0.5
+    px = (p_hom[:, 0] * p_w + 1.0) * width * 0.5 - 0.5
+    py = (p_hom[:, 1] * p_w + 1.0) * height * 0.5 - 0.5
     xy = jnp.stack([px, py], axis=-1)
 
     focal_x = width / (2.0 * tanfovx)
@@ -131,23 +130,24 @@ def project_gaussians(
 
     inv_z = 1.0 / tz_safe
     inv_z2 = inv_z * inv_z
-    # J: [N, 2, 3]
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], axis=-1),
-            jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], axis=-1),
-        ],
-        axis=-2,
-    )
-    W = world_view[:3, :3].T            # rotation part, column-vector form
-    T = jnp.einsum("nij,jk->nik", J, W)  # [N, 2, 3]
-    cov2d = jnp.einsum("nij,njk,nlk->nil", T, cov3d, T)  # [N, 2, 2]
+    # A = J @ W, expanded: J = [[fx/z, 0, -fx tx/z^2], [0, fy/z, -fy ty/z^2]],
+    # W = view rotation (column-vector form) = world_view[:3, :3]^T.
+    w00, w01, w02 = world_view[0, 0], world_view[0, 1], world_view[0, 2]
+    w10, w11, w12 = world_view[1, 0], world_view[1, 1], world_view[1, 2]
+    w20, w21, w22 = world_view[2, 0], world_view[2, 1], world_view[2, 2]
+    # NOTE: row-vector storage means W_colvec[i, j] = world_view[j, i];
+    # A_ik = sum_j J_ij * W_colvec[j, k] = J_i0*wv[k,0]... expanded per k:
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z2
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z2
+    a0 = (j00 * w00 + j02 * w02, j00 * w10 + j02 * w12, j00 * w20 + j02 * w22)
+    a1 = (j11 * w01 + j12 * w02, j11 * w11 + j12 * w12, j11 * w21 + j12 * w22)
+    c00, c01, c11 = sym33_quadform2((a0, a1), cov3d)
 
     # Low-pass: splat at least ~1 px (the rasterizer's +0.3 on the diagonal).
-    c00 = cov2d[:, 0, 0] + 0.3
-    c01 = cov2d[:, 0, 1]
-    c11 = cov2d[:, 1, 1] + 0.3
+    c00 = c00 + 0.3
+    c11 = c11 + 0.3
 
     det = c00 * c11 - c01 * c01
     det_safe = jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)

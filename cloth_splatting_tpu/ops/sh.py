@@ -109,7 +109,11 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     """
     ncoef = (deg + 1) ** 2
     basis = sh_basis(deg, dirs)  # [..., ncoef]
-    return jnp.einsum("...k,...kc->...c", basis, sh[..., :ncoef, :])
+    # expanded sum instead of a batched einsum (see ops/smallmat.py rationale)
+    out = basis[..., 0:1] * sh[..., 0, :]
+    for k in range(1, ncoef):
+        out = out + basis[..., k:k + 1] * sh[..., k, :]
+    return out
 
 
 def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:

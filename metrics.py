@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""NVS metrics CLI (reference metrics.py:40-119 parity).
+
+Walks ``<model>/test/ours_<it>/{renders,gt}`` (and train when present),
+computes SSIM / PSNR / LPIPS-vgg, writes ``results.json``, ``per_view.json``
+and ``results.txt`` with the same schema. LPIPS requires a weights file
+(see scripts/export_lpips_weights.py) since this environment bundles no
+pretrained VGG; without one it reports null.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def evaluate(model_paths, lpips_weights_path=None):
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from cloth_splatting_tpu.eval import lpips_jax
+    from cloth_splatting_tpu.ops.image import psnr as psnr_fn
+    from cloth_splatting_tpu.ops.ssim import ssim as ssim_fn
+
+    lpips_w = (lpips_jax.load_weights(lpips_weights_path)
+               if lpips_jax.available(lpips_weights_path) else None)
+    if lpips_w is None:
+        print("LPIPS weights not provided; reporting lpips=null "
+              "(see scripts/export_lpips_weights.py)")
+
+    for model_path in model_paths:
+        print(f"Scene: {model_path}")
+        full, per_view = {}, {}
+        test_dir = os.path.join(model_path, "test")
+        if not os.path.isdir(test_dir):
+            print(f"  no test dir in {model_path}")
+            continue
+        for method in sorted(os.listdir(test_dir)):
+            mdir = os.path.join(test_dir, method)
+            renders_dir = os.path.join(mdir, "renders")
+            gt_dir = os.path.join(mdir, "gt")
+            if not (os.path.isdir(renders_dir) and os.path.isdir(gt_dir)):
+                continue
+            print(f"  method: {method}")
+            names = sorted(os.listdir(renders_dir))
+            ssims, psnrs, lpipss = [], [], []
+            for name in names:
+                gt_path = os.path.join(gt_dir, name)
+                if not os.path.exists(gt_path):
+                    continue
+                r = np.asarray(Image.open(os.path.join(renders_dir, name)).convert("RGB"),
+                               np.float32).transpose(2, 0, 1) / 255.0
+                g = np.asarray(Image.open(gt_path).convert("RGB"),
+                               np.float32).transpose(2, 0, 1) / 255.0
+                rj, gj = jnp.asarray(r), jnp.asarray(g)
+                ssims.append(float(ssim_fn(rj, gj)))
+                psnrs.append(float(psnr_fn(rj, gj)))
+                if lpips_w is not None:
+                    lpipss.append(float(lpips_jax.lpips(lpips_w, rj[None], gj[None])[0]))
+            res = {
+                "SSIM": float(np.mean(ssims)) if ssims else None,
+                "PSNR": float(np.mean(psnrs)) if psnrs else None,
+                "LPIPS": float(np.mean(lpipss)) if lpipss else None,
+            }
+            print(f"    SSIM: {res['SSIM']}  PSNR: {res['PSNR']}  LPIPS: {res['LPIPS']}")
+            full[method] = res
+            per_view[method] = {
+                "SSIM": dict(zip(names, ssims)),
+                "PSNR": dict(zip(names, psnrs)),
+                "LPIPS": dict(zip(names, lpipss)) if lpipss else {},
+            }
+        with open(os.path.join(model_path, "results.json"), "w") as f:
+            json.dump(full, f, indent=2)
+        with open(os.path.join(model_path, "per_view.json"), "w") as f:
+            json.dump(per_view, f, indent=2)
+        with open(os.path.join(model_path, "results.txt"), "w") as f:
+            for method, res in full.items():
+                f.write(f"{method}: SSIM {res['SSIM']} PSNR {res['PSNR']} "
+                        f"LPIPS {res['LPIPS']}\n")
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="NVS metric evaluation")
+    parser.add_argument("--model_paths", "-m", nargs="+", required=True)
+    parser.add_argument("--lpips_weights", type=str, default=None)
+    args = parser.parse_args()
+    evaluate(args.model_paths, args.lpips_weights)
+
+
+if __name__ == "__main__":
+    main()

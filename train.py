@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Dynamic cloth-scene optimization CLI.
+
+Flag-surface parity with the reference train.py (train.py:355-441): param
+groups auto-exposed as ``--<name>`` flags, ``--configs`` python-file overlay,
+``-s/--source_path``, ``-m/--model_path``, test/save/checkpoint iterations,
+``--expname``, skips (view/time), regularizer weights. Runs on TPU via JAX.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from cloth_splatting_tpu.train.config import (
+        Config,
+        MeshnetConfig,
+        ModelConfig,
+        OptimizationConfig,
+        PipelineConfig,
+    )
+
+    parser = argparse.ArgumentParser(description="Cloth-Splatting TPU trainer")
+    shorthand = {"source_path": "-s", "model_path": "-m", "images": "-i",
+                 "resolution": "-r", "white_background": "-w"}
+    seen = set()
+    for group_cls in (ModelConfig, PipelineConfig, OptimizationConfig, MeshnetConfig):
+        for f in dataclasses.fields(group_cls):
+            if f.name in seen:
+                continue
+            seen.add(f.name)
+            args = [f"--{f.name}"]
+            if f.name in shorthand:
+                args.append(shorthand[f.name])
+            if f.type == "bool" or isinstance(f.default, bool):
+                parser.add_argument(*args, default=None, action="store_true")
+            else:
+                parser.add_argument(*args, default=None, type=type(f.default))
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--debug_from", type=int, default=-1)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[500, 1500, 3000, 4500, 6000, 7000, 7500, 8000])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[8000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--expname", type=str, default="cloth_tpu")
+    parser.add_argument("--configs", type=str, default="")
+    parser.add_argument("--three_steps_batch", type=bool, default=True)
+    parser.add_argument("--view_skip", type=int, default=1)
+    parser.add_argument("--time_skip", type=int, default=1)
+    parser.add_argument("--single_cam_video", action="store_true")
+    parser.add_argument("--no_shadow", action="store_true", default=True)
+    parser.add_argument("--use_wandb", action="store_true")
+    parser.add_argument("--seed", type=int, default=6666)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--save_test_images", action="store_true", default=True)
+    return parser
+
+
+def config_from_args(args) -> "Config":
+    from cloth_splatting_tpu.train.config import Config, load_config_file
+
+    cfg = Config()
+    if args.configs:
+        cfg = load_config_file(cfg, args.configs)
+    for group in (cfg.model, cfg.pipeline, cfg.opt, cfg.meshnet):
+        for f in dataclasses.fields(group):
+            v = getattr(args, f.name, None)
+            if v is not None:
+                setattr(group, f.name, v)
+    return cfg
+
+
+def main() -> None:
+    parser = build_parser()
+    args = parser.parse_args()
+    cfg = config_from_args(args)
+
+    from cloth_splatting_tpu.data.scene import load_cloth_scene
+    from cloth_splatting_tpu.train.loop import train_scene
+    from cloth_splatting_tpu.utils.logging import seed_everything, timestamp_stdout
+
+    timestamp_stdout(args.quiet)
+    seed_everything(args.seed)
+
+    if not cfg.model.source_path:
+        parser.error("--source_path/-s is required")
+    if not cfg.model.model_path:
+        cfg.model.model_path = os.path.join("./output/", args.expname)
+    os.makedirs(cfg.model.model_path, exist_ok=True)
+
+    # cfg_args replay file (render.py merges it back, reference train.py:266)
+    with open(os.path.join(cfg.model.model_path, "cfg_args"), "w") as f:
+        f.write(repr(argparse.Namespace(**vars(args))))
+
+    print(f"Optimizing {cfg.model.model_path}")
+    time_skip = args.time_skip if args.time_skip and args.time_skip > 1 else None
+    view_skip = args.view_skip if args.view_skip and args.view_skip > 1 else None
+    scene = load_cloth_scene(
+        cfg.model.source_path, cfg.model.white_background, cfg.model.eval,
+        time_skip=time_skip, view_skip=view_skip,
+        single_cam_video=args.single_cam_video,
+    )
+    train_scene(
+        cfg, scene, cfg.model.model_path,
+        test_iterations=args.test_iterations,
+        save_iterations=args.save_iterations,
+        seed=args.seed,
+    )
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
