@@ -112,12 +112,32 @@ def save_scene_checkpoint(out_dir: str, iteration: int, trainer: Trainer,
                             state.sim_params._asdict())
 
 
+def save_train_checkpoint(out_dir: str, iteration: int,
+                          state: SplatTrainState) -> str:
+    """Full-train-state checkpoint (the reference's capture()/chkpnt<it>.pth,
+    gaussian_model.py:62-94 + train.py:218-221) as one npz pytree."""
+    from cloth_splatting_tpu.utils import checkpoints
+
+    path = os.path.join(out_dir, f"chkpnt{iteration}.npz")
+    checkpoints.save_pytree(path, state._asdict())
+    return path
+
+
+def load_train_checkpoint(path: str, template: SplatTrainState) -> SplatTrainState:
+    from cloth_splatting_tpu.utils import checkpoints
+
+    flat = checkpoints.load_flat(path)
+    return checkpoints.restore_like(template, flat)
+
+
 def train_scene(
     cfg: Config,
     scene: ClothScene,
     out_dir: str,
     test_iterations: Sequence[int] = (),
     save_iterations: Sequence[int] = (),
+    checkpoint_iterations: Sequence[int] = (),
+    start_checkpoint: Optional[str] = None,
     seed: int = 6666,
     progress_every: int = 50,
     on_iteration: Optional[Callable[[int, dict], None]] = None,
@@ -134,15 +154,20 @@ def train_scene(
     trainer = Trainer(cfg, mesh, preds, cam0.width, cam0.height,
                       cam0.tanfovx, cam0.tanfovy, scene.radius)
     state = trainer.init_state(rng)
+    first_iter = 1
+    if start_checkpoint:
+        state = load_train_checkpoint(start_checkpoint, state)
+        first_iter = int(state.step) + 1
+        print(f"resumed from {start_checkpoint} at iteration {first_iter}")
     cam_bank, gt_bank, mask_bank = build_banks(scene.train, scene.white_background)
 
     logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
-    sh_degree = 0
+    sh_degree = min(first_iter // 1000, cfg.model.sh_degree)
     ema_loss, ema_psnr = 0.0, 0.0
     n_times = scene.train.n_times
     t_start = time_mod.time()
 
-    for iteration in range(1, o.iterations + 1):
+    for iteration in range(first_iter, o.iterations + 1):
         static = o.static_reconst and iteration < o.static_reconst_iteration
 
         if iteration % 1000 == 0 and sh_degree < cfg.model.sh_degree:
@@ -194,6 +219,10 @@ def train_scene(
 
         if iteration in save_iterations:
             save_scene_checkpoint(out_dir, iteration, trainer, state)
+
+        if iteration in checkpoint_iterations:
+            path = save_train_checkpoint(out_dir, iteration, state)
+            print(f"[ITER {iteration}] saved checkpoint {path}")
 
         if on_iteration is not None:
             on_iteration(iteration, {"loss": loss, "psnr": psnr})

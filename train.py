@@ -113,6 +113,8 @@ def main() -> None:
         cfg, scene, cfg.model.model_path,
         test_iterations=args.test_iterations,
         save_iterations=args.save_iterations,
+        checkpoint_iterations=args.checkpoint_iterations,
+        start_checkpoint=args.start_checkpoint,
         seed=args.seed,
     )
     print("\nTraining complete.")
