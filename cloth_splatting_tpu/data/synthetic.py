@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,15 +130,21 @@ def generate_synthetic_scene(
     np.savez(os.path.join(out_dir, "gt.npz"), traj=xyz_t)
 
     bg = jnp.ones(3) if white_background else jnp.zeros(3)
+    cam0 = orbit_camera(0, n_views, fov, image_size, image_size, 0.0)
+
+    @jax.jit
+    def render_frame(cam_arr, verts):
+        return render(cam_arr, image_size, image_size, cam0.tanfovx,
+                      cam0.tanfovy, params, state, rest_mesh, None, None, bg,
+                      3, render_static=True, override_vertices=verts,
+                      k_cap=256, k_chunk=16)
+
     frames_train, frames_test = [], []
     for ti, t in enumerate(times):
         verts = jnp.asarray(traj[ti])
         for vi in range(n_views):
             cam = orbit_camera(vi, n_views, fov, image_size, image_size, float(t))
-            out = render(camera_arrays(cam), image_size, image_size,
-                         cam.tanfovx, cam.tanfovy, params, state, rest_mesh,
-                         None, None, bg, 3, render_static=True,
-                         override_vertices=verts, k_cap=256, k_chunk=16)
+            out = render_frame(camera_arrays(cam), verts)
             img = np.asarray(jnp.clip(out.rgb, 0, 1) * 255).astype(np.uint8)
             img = img.transpose(1, 2, 0)
             alpha = np.asarray(jnp.clip(out.alpha[0], 0, 1) * 255).astype(np.uint8)
