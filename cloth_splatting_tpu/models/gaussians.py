@@ -433,6 +433,20 @@ def add_densification_stats(state: GaussianState, xy_grad_norm: jnp.ndarray,
     )
 
 
+def grow_arrays(tree: Any, old_cap: int, new_cap: int) -> Any:
+    """Pad every array leaf whose leading dim equals old_cap to new_cap
+    (zeros). Used for host-side capacity growth after densify overflow;
+    dead slots are masked by ``alive`` everywhere downstream."""
+
+    def pad(leaf):
+        if isinstance(leaf, jnp.ndarray) and leaf.ndim >= 1 and leaf.shape[0] == old_cap:
+            widths = [(0, new_cap - old_cap)] + [(0, 0)] * (leaf.ndim - 1)
+            return jnp.pad(leaf, widths)
+        return leaf
+
+    return jax.tree_util.tree_map(pad, tree)
+
+
 def zero_opt_rows(opt_state: Any, touched: jnp.ndarray, capacity: int) -> Any:
     """Zero optimizer-moment rows for touched slots.
 

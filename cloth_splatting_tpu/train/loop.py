@@ -62,20 +62,27 @@ def evaluate_split(trainer: Trainer, state: SplatTrainState, grid: CameraGrid,
                    max_cameras: int = 20) -> dict[str, float]:
     """Held-out L1/PSNR over (a subset of) a camera grid."""
     records = grid.records[:max_cameras]
-    psnrs, l1s = [], []
-    for rec in records:
+
+    @jax.jit
+    def eval_one(cam_arr, gt):
         out = render(
-            camera_arrays(rec.camera), trainer.width, trainer.height,
+            cam_arr, trainer.width, trainer.height,
             trainer.tanfovx, trainer.tanfovy, state.params, state.gstate,
             trainer.mesh, state.sim_params, trainer.mesh_predictions,
             trainer.bg_color, sh_degree,
-            k_cap=trainer.cfg.opt.raster_k_cap, k_chunk=trainer.cfg.opt.raster_k_chunk,
+            k_cap=trainer.cfg.opt.raster_k_cap,
+            k_chunk=trainer.cfg.opt.raster_k_chunk,
         )
+        img = jnp.clip(out.rgb, 0.0, 1.0)
+        return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt))
+
+    psnrs, l1s = [], []
+    for rec in records:
         gt = jnp.asarray(decode_image(rec.image_path, white_background),
                          jnp.float32) / 255.0
-        img = jnp.clip(out.rgb, 0.0, 1.0)
-        psnrs.append(float(psnr_fn(img, gt)))
-        l1s.append(float(jnp.mean(jnp.abs(img - gt))))
+        p, l1 = eval_one(camera_arrays(rec.camera), gt)
+        psnrs.append(float(p))
+        l1s.append(float(l1))
     return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
 
 

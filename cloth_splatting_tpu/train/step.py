@@ -294,6 +294,8 @@ class Trainer:
         if iteration > o.densify_from_iter and iteration % o.densification_interval == 0:
             state, ovf = self._densify(state, densify_threshold, rng_key)
             overflow = int(ovf)
+            if overflow > 0:
+                state = self.grow_capacity(state)
         if iteration > o.pruning_from_iter and iteration % o.pruning_interval == 0:
             state = self._prune(state, opacity_threshold,
                                 iteration > o.opacity_reset_interval)
@@ -302,6 +304,26 @@ class Trainer:
         ):
             state = self._reset_opacity(state)
         return state, overflow
+
+    def grow_capacity(self, state: SplatTrainState,
+                      factor: float = 2.0) -> SplatTrainState:
+        """Host-side capacity growth after a densify overflow: pad every
+        capacity-leading array (params, bookkeeping, Adam moments) with dead
+        slots. Costs one recompile per growth — amortized, since growth
+        happens at most log2(final/initial) times per run."""
+        old_cap = state.params.face_bary.shape[0]
+        new_cap = G.round_capacity(int(old_cap * factor))
+        if new_cap <= old_cap:
+            return state
+        print(f"[density] growing gaussian capacity {old_cap} -> {new_cap}")
+        return SplatTrainState(
+            params=G.grow_arrays(state.params, old_cap, new_cap),
+            gstate=G.grow_arrays(state.gstate, old_cap, new_cap),
+            g_opt=G.grow_arrays(state.g_opt, old_cap, new_cap),
+            sim_params=state.sim_params,
+            sim_opt=state.sim_opt,
+            step=state.step,
+        )
 
     # --------------------------------------------------- barycentric cleanup
 

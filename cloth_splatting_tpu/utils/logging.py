@@ -38,6 +38,57 @@ class MetricsLogger:
             self._f = None
 
 
+class TensorBoardAdapter:
+    """Optional TensorBoard scalars/images (the reference's tb usage,
+    train.py:269-342). No-ops silently when tensorboard is unavailable."""
+
+    def __init__(self, log_dir: str | None):
+        self._writer = None
+        if log_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(log_dir)
+            except Exception:
+                self._writer = None
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_scalar(tag, value, step)
+
+    def image(self, tag: str, img_chw, step: int) -> None:
+        if self._writer is not None:
+            self._writer.add_image(tag, img_chw, step)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+class WandbAdapter:
+    """Optional wandb logging (reference train_meshnet_sim.py:383-549).
+    No-ops when wandb is not installed or disabled."""
+
+    def __init__(self, project: str | None = None, name: str | None = None,
+                 config: Any = None, enabled: bool = False):
+        self._run = None
+        if enabled:
+            try:
+                import wandb
+
+                self._run = wandb.init(project=project, name=name, config=config)
+            except Exception:
+                self._run = None
+
+    def log(self, metrics: dict, step: int | None = None) -> None:
+        if self._run is not None:
+            self._run.log(metrics, step=step)
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()
+
+
 class Timer:
     """Pausable wall-clock timer (reference: utils/timer.py:2-23)."""
 

@@ -231,3 +231,27 @@ class TestBaryCleanup:
         new_params, new_state = cleanup_barycentric_host(params, gstate, mesh)
         nb = np.asarray(new_params.face_bary)
         assert (nb[0] >= 0).all()
+
+
+class TestCapacityGrowth:
+    def test_grow_capacity_preserves_and_extends(self, scene):
+        mesh, cfg, cams, gt_images = scene
+        preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2), np.tan(FOV / 2), 3.0)
+        rng = np.random.default_rng(9)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2, capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        cam_batch = stack_cams(cams)
+        state, _ = trainer.step(state, cam_batch, gt_images, None,
+                                sh_degree=0, static=True)
+        n0 = int(G.num_alive(state.gstate))
+        bary0 = np.asarray(state.params.face_bary)
+
+        grown = trainer.grow_capacity(state)
+        assert grown.params.face_bary.shape[0] == 1024
+        assert int(G.num_alive(grown.gstate)) == n0
+        np.testing.assert_array_equal(np.asarray(grown.params.face_bary)[:512], bary0)
+        # training continues at the new capacity
+        grown, metrics = trainer.step(grown, cam_batch, gt_images, None,
+                                      sh_degree=0, static=True)
+        assert np.isfinite(float(metrics.loss))
