@@ -231,14 +231,15 @@ def gaussian_positions(params: GaussianParams, state: GaussianState, mesh: Mesh,
             + norm_bary[:, 2:3] * tri[:, 2])
 
 
-def _triangle_frames(tri: jnp.ndarray, eps: float = 1e-9) -> jnp.ndarray:
+def _triangle_frames(tri: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     """Orthonormal frame per triangle [N, 3, 3] (columns: edge, in-plane
-    perpendicular, normal)."""
+    perpendicular, normal). rsqrt(ss + eps) normalization keeps gradients
+    finite for degenerate triangles (see quat_normalize)."""
     e1 = tri[:, 1] - tri[:, 0]
     e2 = tri[:, 2] - tri[:, 0]
     n = jnp.cross(e1, e2)
-    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1, axis=-1, keepdims=True), eps)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), eps)
+    e1 = e1 * jax.lax.rsqrt(jnp.sum(e1 * e1, -1, keepdims=True) + eps)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, -1, keepdims=True) + eps)
     t = jnp.cross(n, e1)
     return jnp.stack([e1, t, n], axis=-1)  # columns
 

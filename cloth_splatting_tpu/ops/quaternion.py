@@ -13,12 +13,19 @@ Conventions:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def quat_normalize(q: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Normalize quaternions [..., 4] to unit length."""
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+    """Normalize quaternions [..., 4] to unit length.
+
+    rsqrt(sumsq + eps) instead of /max(norm, eps): sqrt has an infinite
+    gradient at 0, and zero-padded (dead-slot) quaternions would turn the
+    whole backward pass NaN via NaN * 0 even though their contributions are
+    masked downstream."""
+    ss = jnp.sum(q * q, axis=-1, keepdims=True)
+    return q * jax.lax.rsqrt(ss + eps)
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:

@@ -48,14 +48,18 @@ def regularization(all_vertices: jnp.ndarray, mesh: Mesh,
     n_cams = all_vertices.shape[0]
     loss = jnp.zeros(())
 
+    def safe_norm(x):
+        # sqrt(ss + eps): finite gradient at exactly-zero displacements
+        return jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
+
     if lambda_deform_mag > 0.0 and n_cams >= 3:
-        d0 = jnp.linalg.norm(all_vertices[1] - all_vertices[0], axis=-1).mean()
-        d1 = jnp.linalg.norm(all_vertices[2] - all_vertices[1], axis=-1).mean()
+        d0 = safe_norm(all_vertices[1] - all_vertices[0]).mean()
+        d1 = safe_norm(all_vertices[2] - all_vertices[1]).mean()
         loss = loss + lambda_deform_mag * 0.5 * (d0 + d1)
 
     if lambda_rigid > 0.0:
         disp = all_vertices[:, mesh.edge_index[1]] - all_vertices[:, mesh.edge_index[0]]
-        deformed_norm = jnp.linalg.norm(disp, axis=-1, keepdims=True)   # [B, E, 1]
+        deformed_norm = safe_norm(disp)[..., None]                      # [B, E, 1]
         static_norm = jnp.broadcast_to(mesh.edge_norm[None], deformed_norm.shape)
         loss = loss + lambda_rigid * jnp.mean(jnp.abs(static_norm - deformed_norm))
 

@@ -316,8 +316,13 @@ class Trainer:
         if new_cap <= old_cap:
             return state
         print(f"[density] growing gaussian capacity {old_cap} -> {new_cap}")
+        grown_params = G.grow_arrays(state.params, old_cap, new_cap)
+        # dead slots get identity quaternions (zero quats are degenerate even
+        # with NaN-safe normalization)
+        rot = grown_params.rotation.at[old_cap:, 0].set(1.0)
+        grown_params = grown_params._replace(rotation=rot)
         return SplatTrainState(
-            params=G.grow_arrays(state.params, old_cap, new_cap),
+            params=grown_params,
             gstate=G.grow_arrays(state.gstate, old_cap, new_cap),
             g_opt=G.grow_arrays(state.g_opt, old_cap, new_cap),
             sim_params=state.sim_params,
