@@ -99,6 +99,7 @@ class TestClosedLoop:
         assert np.isfinite(res["final_cost"])
         assert len(res["costs"]) == 3
 
+    @pytest.mark.slow
     def test_mpc_cs_full_loop(self, tmp_path):
         """The complete predict-update loop: render -> refine -> feed back."""
         rng = np.random.default_rng(3)

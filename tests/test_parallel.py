@@ -1,0 +1,199 @@
+"""Multi-device sharding tests (virtual 8-device CPU mesh from conftest).
+
+The reference has no distributed code (SURVEY.md section 2.3); this is the
+TPU-native new-capability axis: (data x model) mesh, camera-batch data
+parallelism, Gaussian-capacity model sharding, pure-DP GNN steps. Each test
+asserts (a) the sharded program compiles and executes and (b) it agrees
+numerically with the unsharded single-device program.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+from cloth_splatting_tpu.models import gaussians as G
+from cloth_splatting_tpu.models.deform import init_residual_simulator
+from cloth_splatting_tpu.ops.camera import Camera
+from cloth_splatting_tpu.parallel.mesh import (
+    cam_sharding,
+    gauss_sharding,
+    make_mesh,
+    make_sharded_meshnet_step,
+    make_sharded_splat_step,
+    shard_batch,
+    shard_splat_state,
+)
+from cloth_splatting_tpu.render import CameraArrays, camera_arrays
+from cloth_splatting_tpu.train.config import Config
+from cloth_splatting_tpu.train.step import Trainer
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 (virtual) devices"),
+]
+
+
+def _scene(capacity=512, image_size=32, mesh_res=6):
+    rng = np.random.default_rng(0)
+    mesh = grid_cloth_mesh(mesh_res, mesh_res, size=1.2)
+    cfg = Config()
+    cfg.opt.raster_k_cap = 64
+    cfg.opt.raster_k_chunk = 16
+    params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2,
+                                      capacity=capacity)
+    sim_params = init_residual_simulator(rng, int(mesh.pos.shape[0]))
+    preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+    fov = 2 * np.arctan(0.4)
+    cam = Camera.create(R=np.eye(3), t=np.asarray([0.0, 0.0, 3.0]),
+                        fovx=fov, fovy=fov, width=image_size,
+                        height=image_size, time=0.5)
+    return cfg, mesh, params, gstate, sim_params, preds, cam
+
+
+def _cam_batch(cam, n):
+    arrs = [camera_arrays(dataclasses.replace(cam, time=float(t)))
+            for t in np.linspace(0, 1, n)]
+    return CameraArrays(*[jnp.stack([getattr(a, f) for a in arrs])
+                          for f in CameraArrays._fields])
+
+
+class TestMesh:
+    def test_make_mesh_shapes(self):
+        m = make_mesh(8)
+        assert m.devices.shape == (2, 4)
+        assert m.axis_names == ("data", "model")
+        m4 = make_mesh(4)
+        assert m4.devices.size == 4
+
+    def test_shard_splat_state_placement(self):
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        dmesh = make_mesh(8)
+        trainer = Trainer(cfg, mesh, preds, cam.width, cam.height,
+                          cam.tanfovx, cam.tanfovy, spatial_lr_scale=2.0)
+        state = trainer.init_state(np.random.default_rng(0), params, gstate,
+                                   sim_params)
+        sharded = shard_splat_state(state, dmesh)
+        gs = gauss_sharding(dmesh)
+        # capacity-leading arrays land on the model axis
+        assert sharded.params.face_bary.sharding.is_equivalent_to(
+            gs, sharded.params.face_bary.ndim)
+        assert sharded.gstate.alive.sharding.is_equivalent_to(
+            gs, sharded.gstate.alive.ndim)
+        # replicated leaves stay replicated
+        assert sharded.sim_params.w_out.sharding.is_fully_replicated
+        assert sharded.step.sharding.is_fully_replicated
+
+
+class TestShardedSplatStep:
+    def test_matches_unsharded(self):
+        """One sharded train step == one single-device train step."""
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        trainer = Trainer(cfg, mesh, preds, cam.width, cam.height,
+                          cam.tanfovx, cam.tanfovy, spatial_lr_scale=2.0)
+        state0 = trainer.init_state(np.random.default_rng(0), params, gstate,
+                                    sim_params)
+        cams = _cam_batch(cam, 4)
+        gts = jnp.zeros((4, 3, cam.height, cam.width), jnp.float32)
+
+        # unsharded reference on device 0
+        ref_state, ref_metrics = trainer.step(state0, cams, gts, None,
+                                              sh_degree=1, static=False)
+
+        dmesh = make_mesh(8)
+        sstate = shard_splat_state(state0, dmesh)
+        scams = shard_batch(cams, dmesh)
+        sgts = shard_batch(gts, dmesh)
+        step = make_sharded_splat_step(trainer, dmesh, sh_degree=1,
+                                       static=False)
+        with dmesh:
+            new_state, metrics = step(sstate, scams, sgts)
+            jax.block_until_ready(metrics.loss)
+
+        assert np.isfinite(float(metrics.loss))
+        np.testing.assert_allclose(float(metrics.loss),
+                                   float(ref_metrics.loss), rtol=1e-4)
+        np.testing.assert_allclose(float(metrics.psnr),
+                                   float(ref_metrics.psnr), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(new_state.params.face_bary),
+                                   np.asarray(ref_state.params.face_bary),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(new_state.sim_params.w_out),
+                                   np.asarray(ref_state.sim_params.w_out),
+                                   atol=5e-5)
+
+    def test_batch_sharded_over_data_axis(self):
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        dmesh = make_mesh(8)
+        cams = _cam_batch(cam, 4)
+        scams = shard_batch(cams, dmesh)
+        cs = cam_sharding(dmesh)
+        assert scams.world_view.sharding.is_equivalent_to(
+            cs, scams.world_view.ndim)
+
+    def test_two_steps_progress(self):
+        """Sharded training actually reduces the loss over steps."""
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        trainer = Trainer(cfg, mesh, preds, cam.width, cam.height,
+                          cam.tanfovx, cam.tanfovy, spatial_lr_scale=2.0)
+        state = trainer.init_state(np.random.default_rng(0), params, gstate,
+                                   sim_params)
+        dmesh = make_mesh(8)
+        state = shard_splat_state(state, dmesh)
+        cams = shard_batch(_cam_batch(cam, 4), dmesh)
+        gts = shard_batch(
+            jnp.full((4, 3, cam.height, cam.width), 0.5, jnp.float32), dmesh)
+        step = make_sharded_splat_step(trainer, dmesh, sh_degree=1,
+                                       static=False)
+        losses = []
+        with dmesh:
+            for _ in range(5):
+                state, metrics = step(state, cams, gts)
+                losses.append(float(metrics.loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+
+class TestShardedMeshnetStep:
+    def test_matches_unsharded(self):
+        from cloth_splatting_tpu.data.trajectories import ClothSampleDataset
+        from cloth_splatting_tpu.manipulation.collect import collect_dataset
+        from cloth_splatting_tpu.models.cloth_simulator import init_cloth_simulator
+        from cloth_splatting_tpu.train.meshnet_train import MeshnetTrainer
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as root:
+            data = collect_dataset(root, n_trajectories=2, nx=6, ny=6,
+                                   n_steps=10, seed=0)
+            ds = ClothSampleDataset(data, input_seq_len=2, future_seq_len=1,
+                                    num_samples=32)
+        rng = np.random.default_rng(0)
+        state = init_cloth_simulator(rng, input_sequence_length=2,
+                                     n_message_passing=2, latent=16)
+        trainer = MeshnetTrainer(lr_init=1e-3, normalize=True)
+        opt_state = trainer.init_opt(state)
+        batch = ds.batch(np.random.default_rng(1), 8)
+        key = jax.random.PRNGKey(0)
+        lr = jnp.asarray(trainer.lr(0), jnp.float32)
+
+        batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
+        ref_state, ref_opt, ref_loss = trainer._train_step(
+            state, opt_state, batch_j, key, lr, 1)
+
+        dmesh = make_mesh(8)
+        step, place_batch = make_sharded_meshnet_step(trainer, dmesh, future=1)
+        with dmesh:
+            sbatch = place_batch(batch)
+            new_state, new_opt, loss = step(state, opt_state, sbatch, key, lr)
+            jax.block_until_ready(loss)
+
+        assert np.isfinite(float(loss))
+        np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+        flat_ref = jax.tree_util.tree_leaves(ref_state["gnn"])
+        flat_new = jax.tree_util.tree_leaves(new_state["gnn"])
+        for a, b in zip(flat_ref, flat_new):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cloth_splatting_tpu.data.mesh_io import load_mesh_h5, save_mesh_h5
 from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
 from cloth_splatting_tpu.data.ply_io import read_ply, write_ply

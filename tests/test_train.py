@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
 from cloth_splatting_tpu.models import gaussians as G
 from cloth_splatting_tpu.models.deform import init_residual_simulator
@@ -139,16 +141,29 @@ class TestStaticFit:
 
         key = jax.random.PRNGKey(1)
         grew = False
+        capacity_grew = False
         for it in range(1, 80):
             state, metrics = trainer.step(state, cam_batch, gt_images, None,
                                           sh_degree=0, static=True)
             key, sub = jax.random.split(key)
-            state, _ = trainer.density_control(state, it, sub)
+            cap_before = state.params.face_bary.shape[0]
+            state, overflow = trainer.density_control(state, it, sub)
+            cap_after = state.params.face_bary.shape[0]
+            if overflow > 0:
+                # overflow must trigger capacity growth (train/step.py
+                # grow_capacity), never silent truncation
+                assert cap_after > cap_before, (overflow, cap_before, cap_after)
+                capacity_grew = True
             n = int(G.num_alive(state.gstate))
             if n > n0:
                 grew = True
         assert grew, "densification never added gaussians"
-        assert int(G.num_alive(state.gstate)) <= 512
+        # alive never exceeds the (possibly grown) capacity
+        cap = state.params.face_bary.shape[0]
+        assert int(G.num_alive(state.gstate)) <= cap
+        # with the aggressive 1e-4 threshold the 196-gaussian init should
+        # overflow 512 within 3 densify rounds and grow capacity
+        assert capacity_grew and cap > 512
 
     def test_opacity_reset(self, scene):
         mesh, cfg, cams, _ = scene
