@@ -3,15 +3,22 @@
 serving metric, measured with render.py's (n-1)/elapsed convention,
 reference render.py:300-301).
 
-Scene: a synthetic mesh-anchored cloth field (~4k Gaussians, SH degree 3 —
-the scale the folding_scenes land at after densification) rendered over a
-20-view orbit through the full pipeline: SH eval -> EWA projection ->
-sort-free tile binning -> Pallas per-tile compositing kernel.
+Scenes: synthetic mesh-anchored cloth fields at three scales — 4k, 16k and
+65k Gaussians (SH degree 3). 50-100k is where the reference's folding_scenes
+land after densification (SURVEY.md section 6), so the HEADLINE metric is
+the 65k figure; the smaller scales are reported alongside.
 
-Prints ONE json line. vs_baseline is the ratio against 100 FPS, the
-documented 3DGS-class CUDA expectation at this resolution (BASELINE.md: the
-reference repo records no absolute FPS number; >100 FPS at 800x800 is the
-driver's stated expectation for the CUDA pipeline).
+Each orbit runs as ONE jitted lax.scan over an on-device camera bank — the
+TPU-native serving shape (static loop, zero per-frame host round trips; the
+CUDA baseline's per-frame kernel launches cost microseconds, while this
+environment's TPU tunnel costs ~25 ms per dispatch, which would measure the
+tunnel, not the renderer).
+
+Prints ONE json line. vs_baseline is the 65k FPS against 100 FPS, the
+documented 3DGS-class CUDA expectation at this resolution and scale
+(BASELINE.md: the reference repo records no absolute FPS number; >100 FPS at
+800x800 for 50-100k Gaussians is the driver's stated expectation for the
+CUDA pipeline).
 """
 
 import json
@@ -27,7 +34,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 BASELINE_FPS = 100.0
 
 
-def main() -> None:
+def measure_fps(res: int, n_views: int = 20, width: int = 800,
+                height: int = 800) -> float:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,53 +44,66 @@ def main() -> None:
     from cloth_splatting_tpu.data.synthetic import orbit_camera, target_gaussians
     from cloth_splatting_tpu.models import gaussians as G
     from cloth_splatting_tpu.ops.projection import build_covariance, project_gaussians
-    from cloth_splatting_tpu.ops.rasterize.pallas_tiled import rasterize_pallas
     from cloth_splatting_tpu.ops.sh import eval_sh
-    from cloth_splatting_tpu.render import camera_arrays
+    from cloth_splatting_tpu.render import CameraArrays, camera_arrays
 
-    W = H = 800
-    n_views = 20
-    mesh = grid_cloth_mesh(32, 32, size=1.4)
-    params, state = target_gaussians(mesh, 3)
     fov = 2 * np.arctan(0.4)
-    cams = [camera_arrays(orbit_camera(v, n_views, fov, W, H, 0.0))
+    mesh = grid_cloth_mesh(res, res, size=1.4)
+    params, state = target_gaussians(mesh, 3)
+    cams = [camera_arrays(orbit_camera(v, n_views, fov, width, height, 0.0))
             for v in range(n_views)]
+    bank = CameraArrays(*[jnp.stack([getattr(c, f) for c in cams])
+                          for f in CameraArrays._fields])
 
     xyz = G.gaussian_positions(params, state, mesh)
     cov = build_covariance(G.get_scaling(params), params.rotation)
     sh = G.get_features(params)
     op = G.get_opacity(params)
+    use_pallas = jax.default_backend() != "cpu"
 
-    use_pallas = jax.default_backend() == "tpu"
-
-    @jax.jit
     def frame(c):
         dirs = xyz - c.camera_center[None]
         dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
         colors = jnp.maximum(eval_sh(3, sh, dirs) + 0.5, 0.0)
         proj = project_gaussians(xyz, cov, colors, op, c.world_view, c.full_proj,
-                                 W, H, np.tan(fov / 2), np.tan(fov / 2),
+                                 width, height, np.tan(fov / 2), np.tan(fov / 2),
                                  alive=state.alive)
         if use_pallas:
-            rgb, _, _, _ = rasterize_pallas(proj, W, H, (1.0, 1.0, 1.0))
+            from cloth_splatting_tpu.ops.rasterize.pallas_tiled import rasterize_pallas
+            rgb, _, _, _ = rasterize_pallas(proj, width, height, (1.0, 1.0, 1.0))
         else:
             from cloth_splatting_tpu.ops.rasterize.tiled import rasterize_tiled
-            rgb, _, _, _ = rasterize_tiled(proj, W, H, jnp.ones(3),
+            rgb, _, _, _ = rasterize_tiled(proj, width, height, jnp.ones(3),
                                            k_cap=128, k_chunk=32)
         return rgb
 
-    frame(cams[0]).block_until_ready()  # compile outside timing
+    @jax.jit
+    def orbit(bank):
+        def body(carry, c):
+            rgb = frame(c)
+            # keep a strided probe of every frame so nothing is dead-code'd
+            return carry + rgb.mean(), rgb[:, ::200, ::200]
+        return jax.lax.scan(body, 0.0, bank)
+
+    jax.block_until_ready(orbit(bank))          # compile outside timing
     t0 = time.time()
-    for c in cams:
-        frame(c).block_until_ready()
+    jax.block_until_ready(orbit(bank))
     elapsed = time.time() - t0
-    fps = (n_views - 1) / elapsed
+    return (n_views - 1) / elapsed
+
+
+def main() -> None:
+    fps_4k = measure_fps(32)
+    fps_16k = measure_fps(64)
+    fps_65k = measure_fps(128)
 
     print(json.dumps({
-        "metric": "render_fps_800x800",
-        "value": round(fps, 2),
+        "metric": "render_fps_800x800_65k_gaussians",
+        "value": round(fps_65k, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "vs_baseline": round(fps_65k / BASELINE_FPS, 4),
+        "fps_4k_gaussians": round(fps_4k, 2),
+        "fps_16k_gaussians": round(fps_16k, 2),
     }))
 
 

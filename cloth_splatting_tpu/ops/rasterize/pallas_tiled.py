@@ -1,26 +1,40 @@
-"""Pallas per-tile compositing kernel (serving/benchmark tier).
+"""Pallas per-tile compositing kernel over sort-binned instance lists.
 
-The XLA tier composites a dense [tiles, k_cap] grid — every tile pays for
-k_cap slots even when its list holds 3 Gaussians. This kernel walks each
-tile's REAL instance list with a dynamic trip count (scalar-prefetched
-start/count), double-buffers chunk DMAs from HBM, and early-exits once the
-tile's transmittance is saturated — so the work is proportional to the true
-(incidence x pixel) count, the quantity the CUDA rasterizer's per-tile warps
-exploit (SURVEY.md section 2.1).
+Serving/benchmark tier. Two stages, both shaped by measured TPU costs:
 
-Layout: binning (ops/rasterize/tiled.py bin + ops/sort.py counting ranks)
-produces a COMPACT instance array [B, 16] f32 whose rows are grouped by tile
-in front-to-back depth order. Each grid step owns one 16x16 tile; pixels live
-as (2, 128) f32 lanes; per-Gaussian parameters broadcast from VMEM scalars.
+1. ``sorted_pack`` (XLA): expand each projected Gaussian into its covered
+   16x16 tiles (static ``win x win`` slot window), then ONE
+   ``lax.sort((tile_id, depth, gauss_idx), num_keys=2)`` yields every tile's
+   instance list, contiguous and in EXACT front-to-back depth order (the
+   CUDA rasterizer quantizes depth into its 64-bit key; we sort true f32
+   depth — strictly stronger ordering). Tile segment starts come from one
+   vectorized ``searchsorted``. No scatter anywhere: the earlier
+   counting-rank + row-scatter design cost 60 + 190 ms at 65k Gaussians
+   where this sort costs single-digit ms.
 
-Forward-only: training uses the differentiable XLA tier; rendering/serving
-uses this one. Outputs match the XLA tier bit-for-bit up to fp reassociation
-(tested against the oracle in interpret mode).
+2. ``_kernel`` (Pallas): grid over tiles; each step double-buffers
+   128-instance parameter chunks from HBM (param-major [16, B] layout so
+   every DMA is a lane-aligned [16, 128] block) and composites them
+   VECTORIZED: alpha for all 128 instances against all 256 pixels as one
+   [256, 128] VPU batch, front-to-back order enforced by a log-step
+   exclusive cumprod of (1 - alpha) along the instance (lane) axis, and the
+   per-pixel channel accumulation done as ONE MXU matmul per chunk
+   ([5, 128] channels x [256, 128] weights -> [5, 256]) — the fifth "ones"
+   channel telescopes to the accumulated alpha, so 1 - T never needs a
+   cross-layout transpose. Early-exits on transmittance saturation per
+   chunk. Replaces the old scalar one-Gaussian-at-a-time loop (~40
+   cycles/instance) with a few cycles/instance of VPU+MXU work.
+
+There is no k_cap in this tier: every instance the projection emits is
+composited (the dense XLA training tier still has one; its overflow is
+reported there). Behavioral contract: SURVEY.md section 2.1 row 1
+(gaussian_renderer/__init__.py:156-164 forward semantics).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,35 +47,45 @@ from cloth_splatting_tpu.ops.projection import (
     ProjectedGaussians,
 )
 from cloth_splatting_tpu.ops.rasterize.tiled import RasterAux
-from cloth_splatting_tpu.ops.sort import counting_rank, quantize_depth, rank_permutation
 
-PACK16 = 16      # instance row: xy(2) conic(3) rgb(3) opacity depth cut pad(5)
-PACK_PER_ROW = 8  # instances per 128-float row (Mosaic lane alignment)
-CHUNK = 32       # instances per DMA (CHUNK/PACK_PER_ROW rows)
+PACK16 = 16      # param rows: x y conic(3) rgb(3) opacity depth cut pad(5)
+CHUNK = 128      # instances per DMA chunk / vector batch (lane width)
 TRANS_EPS = 1e-4
 
 
-def pack_instances(proj: ProjectedGaussians, tw: int, th: int, tile_size: int,
-                   win: int):
-    """Compact, tile-grouped, depth-ordered instance rows.
+class PackedTiles(NamedTuple):
+    rows16: jnp.ndarray      # [16, B_pad] f32 param-major, tile-grouped,
+                             # depth-ordered along axis 1
+    starts: jnp.ndarray      # [T] i32 segment starts (unaligned)
+    counts: jnp.ndarray      # [T] i32 segment lengths
+    gauss_idx: jnp.ndarray   # [B_pad] i32 source Gaussian per instance
+    aux: RasterAux
 
-    Returns (inst [B_pad, 16] f32, start [T] i32, count [T] i32, aux).
-    """
-    n_tiles = tw * th
+
+def pack_rows(proj: ProjectedGaussians) -> jnp.ndarray:
+    """[N, 16] per-Gaussian parameter rows."""
     n = proj.xy.shape[0]
+    opacity = jnp.where(proj.valid, proj.opacity, 0.0)
+    depth = jnp.where(jnp.isfinite(proj.depth), proj.depth, 0.0)
+    return jnp.concatenate(
+        [
+            proj.xy, proj.conic, proj.color, opacity[:, None], depth[:, None],
+            proj.power_cut[:, None], jnp.zeros((n, PACK16 - 11), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _expand_slots(xy, r, valid, depth, gidx_src, tw, th, tile_size, win):
+    """Per-slot (tile_id, depth, gauss_idx) triplets for a win x win window.
+
+    Dead slots (outside the Gaussian's span, or invalid Gaussians) get the
+    sentinel tile tw*th and +inf-like depth so the sort groups them last.
+    Everything is broadcast, never repeat/gather.
+    """
+    n = xy.shape[0]
     slots = win * win
-
-    buckets = quantize_depth(proj.depth, proj.valid, 4096)
-    _, inverse = rank_permutation(buckets, 4096)
-    xy = proj.xy[inverse]
-    conic = proj.conic[inverse]
-    color = proj.color[inverse]
-    opacity = jnp.where(proj.valid[inverse], proj.opacity[inverse], 0.0)
-    depth = jnp.where(jnp.isfinite(proj.depth[inverse]), proj.depth[inverse], 0.0)
-    valid = proj.valid[inverse]
-    power_cut = proj.power_cut[inverse]
-    r = proj.radius[inverse]
-
+    n_tiles = tw * th
     x0 = jnp.clip(jnp.floor((xy[:, 0] - r) / tile_size), 0, tw).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((xy[:, 1] - r) / tile_size), 0, th).astype(jnp.int32)
     x1 = jnp.clip(jnp.floor((xy[:, 0] + r) / tile_size) + 1, 0, tw).astype(jnp.int32)
@@ -72,72 +96,124 @@ def pack_instances(proj: ProjectedGaussians, tw: int, th: int, tile_size: int,
     ty = y0[:, None] + (dj // win)[None, :]
     in_span = (tx < x1[:, None]) & (ty < y1[:, None]) & valid[:, None]
     tile_id = jnp.where(in_span, ty * tw + tx, n_tiles).reshape(-1)
+    depth_c = jnp.where(jnp.isfinite(depth), depth, 3.4e38)
+    depth_b = jnp.broadcast_to(depth_c[:, None], (n, slots)).reshape(-1)
+    gidx = jnp.broadcast_to(gidx_src[:, None], (n, slots)).reshape(-1)
+    return tile_id, depth_b, gidx
 
-    pos = counting_rank(tile_id, n_tiles + 1)
-    counts_all = jnp.bincount(tile_id, length=n_tiles + 1)
-    counts = counts_all[:n_tiles].astype(jnp.int32)
-    # unaligned per-tile offsets (positions of counting_rank)
-    un_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)]
+
+def round_big_cap(n: int) -> int:
+    """Static size of the big-Gaussian side stream."""
+    return min(n, max(2048, n // 8))
+
+
+def sorted_pack(proj: ProjectedGaussians, tw: int, th: int, tile_size: int,
+                win: int, win_small: int = 2,
+                big_cap: int | None = None) -> PackedTiles:
+    """Sort-based tile binning with exact depth ordering.
+
+    Two-class instance expansion: after densified training the vast
+    majority of splats span <= win_small tiles per axis (measured ~91% at
+    realistic scale), so expanding every Gaussian into win^2 slots wastes
+    ~6x sort/gather work on dead slots. Gaussians whose span exceeds
+    win_small go into a capped side stream expanded at the full win; both
+    streams share the single (tile, depth) sort, so compositing order stays
+    exact. If more than ``round_big_cap(N)`` Gaussians are oversized (only
+    plausible in the earliest training iterations), the excess have their
+    support ellipse shrunk to the small span, power_cut scaled to match —
+    the same contract as projection's MAX_SPLAT_RADIUS.
+    """
+    n_tiles = tw * th
+    n = proj.xy.shape[0]
+
+    xy, r, valid = proj.xy, proj.radius, proj.valid
+    depth = proj.depth
+    gidx_all = jnp.arange(n, dtype=jnp.int32)
+
+    if win <= win_small:
+        tile_id, depth_b, gidx = _expand_slots(
+            xy, r, valid, depth, gidx_all, tw, th, tile_size, win)
+        slots_total = n * win * win
+        proj_adj = proj
+    else:
+        if big_cap is None:
+            big_cap = round_big_cap(n)
+        # span > win_small along either axis => big
+        small_rmax = (win_small - 1) * tile_size / 2.0 - 0.51
+        is_big = (r > small_rmax) & valid
+        score = jnp.where(is_big, r, -1.0)
+        _, big_idx = jax.lax.top_k(score, big_cap)
+        big_sel = score[big_idx] > 0.0
+        in_big = jnp.zeros((n,), bool).at[big_idx].set(big_sel)
+
+        # small stream: everyone not in the big list; oversize stragglers
+        # (big-cap overflow) get ellipse-shrunk to the small span
+        shrink = is_big & ~in_big
+        r_small = jnp.where(shrink, small_rmax, r)
+        cut_adj = jnp.where(
+            shrink,
+            proj.power_cut * (small_rmax / jnp.maximum(r, 1e-6)) ** 2,
+            proj.power_cut)
+        proj_adj = proj._replace(power_cut=cut_adj)
+        tid_s, dep_s, gid_s = _expand_slots(
+            xy, r_small, valid & ~in_big, depth, gidx_all,
+            tw, th, tile_size, win_small)
+
+        # big stream: gathered fields, full window
+        tid_b, dep_b, gid_b = _expand_slots(
+            xy[big_idx], r[big_idx], big_sel & valid[big_idx], depth[big_idx],
+            big_idx, tw, th, tile_size, win)
+
+        tile_id = jnp.concatenate([tid_s, tid_b])
+        depth_b = jnp.concatenate([dep_s, dep_b])
+        gidx = jnp.concatenate([gid_s, gid_b])
+        slots_total = tile_id.shape[0]
+
+    sorted_tile, _, sorted_gidx = jax.lax.sort(
+        (tile_id, depth_b, gidx), num_keys=2
     )
-    # Mosaic DMA slices must be 128-lane aligned; we pack PACK_PER_ROW
-    # instances (16 floats each) per 128-float row and align every tile's
-    # segment start to a row boundary.
-    aligned_counts = ((counts + PACK_PER_ROW - 1) // PACK_PER_ROW) * PACK_PER_ROW
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(aligned_counts)[:-1].astype(jnp.int32)]
-    )
+    b = slots_total
 
-    b = n * slots
-    b_pad = b + n_tiles * PACK_PER_ROW + 2 * CHUNK
-    b_pad = ((b_pad + 127) // 128) * 128
-    local = pos - un_starts[jnp.minimum(tile_id, n_tiles)]
-    keep = tile_id < n_tiles
-    aligned_pos = jnp.where(
-        keep, starts[jnp.minimum(tile_id, n_tiles - 1)] + local, b_pad)
+    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(sorted_tile, bounds, side="left").astype(jnp.int32)
+    starts = edges[:-1]
+    counts = edges[1:] - starts
 
-    gauss_of_inst = jnp.arange(b, dtype=jnp.int32) // slots
-    rows = jnp.concatenate(
-        [
-            xy, conic, color, opacity[:, None], depth[:, None],
-            power_cut[:, None], jnp.zeros((n, PACK16 - 11), xy.dtype),
-        ],
-        axis=1,
-    )[gauss_of_inst]
-    inst = jnp.zeros((b_pad, PACK16), xy.dtype)
-    inst = inst.at[aligned_pos].set(rows, mode="drop")
-    inst = inst.reshape(b_pad // PACK_PER_ROW, PACK_PER_ROW * PACK16)
+    rows_sorted = pack_rows(proj_adj)[sorted_gidx]                   # [B, 16]
+    # pad so any chunk DMA [astart, astart + CHUNK) stays in bounds
+    b_pad = ((b + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
+    rows_sorted = jnp.concatenate(
+        [rows_sorted, jnp.zeros((b_pad - b, PACK16), jnp.float32)])
+    sorted_gidx = jnp.concatenate(
+        [sorted_gidx, jnp.full((b_pad - b,), n, jnp.int32)])
+    rows16 = rows_sorted.T                                           # [16, B_pad]
 
     aux = RasterAux(n_dropped=jnp.zeros((), jnp.int32),
                     max_tile_count=jnp.max(counts))
-    return inst, starts, counts, aux
+    return PackedTiles(rows16, starts, counts, sorted_gidx, aux)
 
 
 def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
-    p = tile_size * tile_size
-    rows, lanes = p // 128, 128
+    p = tile_size * tile_size                                   # pixels/tile
 
-    def kernel(start_ref, count_ref, inst_hbm, rgb_ref, dep_ref, acc_ref,
-               buf, sem):
+    def kernel(start_ref, count_ref, rows16_hbm, out_ref, buf, sem):
         i = pl.program_id(0)
         ox = (i % tw) * tile_size
         oy = (i // tw) * tile_size
-        idx = (jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0) * lanes
-               + jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1))
-        px = (ox + idx % tile_size).astype(jnp.float32)
-        py = (oy + idx // tile_size).astype(jnp.float32)
+        # pixel coordinate columns [p, 1]; pixel index = y*tile + x
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        px = (ox + pidx % tile_size).astype(jnp.float32)
+        py = (oy + pidx // tile_size).astype(jnp.float32)
 
         start = start_ref[i]
         count = count_ref[i]
-        n_chunks = (count + CHUNK - 1) // CHUNK
-
-        rows_per_chunk = CHUNK // PACK_PER_ROW
+        astart = (start // CHUNK) * CHUNK
+        n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
 
         def get_dma(slot, chunk_idx):
-            row0 = (start + chunk_idx * CHUNK) // PACK_PER_ROW
+            c0 = astart + chunk_idx * CHUNK
             return pltpu.make_async_copy(
-                inst_hbm.at[pl.ds(row0, rows_per_chunk), :],
+                rows16_hbm.at[:, pl.ds(c0, CHUNK)],
                 buf.at[slot],
                 sem.at[slot],
             )
@@ -146,58 +222,66 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
         def _():
             get_dma(0, 0).start()
 
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
         def chunk_body(state):
-            ci, trans, r0, r1, r2, dep = state
+            ci, trans, acc = state
 
             @pl.when(ci + 1 < n_chunks)
             def _():
                 get_dma((ci + 1) % 2, ci + 1).start()
 
             get_dma(ci % 2, ci).wait()
-            slot = ci % 2
-            remaining = count - ci * CHUNK
+            blk = buf[ci % 2]                                # [16, CHUNK]
 
-            def gauss_body(g, inner):
-                trans, r0, r1, r2, dep = inner
-                row = g // PACK_PER_ROW
-                off = (g % PACK_PER_ROW) * PACK16
-                gx = buf[slot, row, off]
-                gy = buf[slot, row, off + 1]
-                ca = buf[slot, row, off + 2]
-                cb = buf[slot, row, off + 3]
-                cc = buf[slot, row, off + 4]
-                col0 = buf[slot, row, off + 5]
-                col1 = buf[slot, row, off + 6]
-                col2 = buf[slot, row, off + 7]
-                op = buf[slot, row, off + 8]
-                gd = buf[slot, row, off + 9]
-                cut = buf[slot, row, off + 10]
-                dx = px - gx
-                dy = py - gy
-                power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-                alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-                alpha = jnp.where(
-                    (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN),
-                    0.0, alpha)
-                live = g < remaining
-                alpha = jnp.where(live, alpha, 0.0)
-                w = trans * alpha
-                return (trans * (1.0 - alpha), r0 + w * col0, r1 + w * col1,
-                        r2 + w * col2, dep + w * gd)
+            gx = blk[0:1, :]                                  # [1, CHUNK]
+            gy = blk[1:2, :]
+            ca = blk[2:3, :]
+            cb = blk[3:4, :]
+            cc = blk[4:5, :]
+            op = blk[8:9, :]
+            cut = blk[10:11, :]
 
-            inner = jax.lax.fori_loop(0, CHUNK, gauss_body,
-                                      (trans, r0, r1, r2, dep))
-            trans, r0, r1, r2, dep = inner
-            return (ci + 1, trans, r0, r1, r2, dep)
+            pos = astart + ci * CHUNK + lane                  # [1, CHUNK]
+            live = (pos >= start) & (pos < start + count)
+
+            dx = px - gx                                      # [p, CHUNK]
+            dy = py - gy
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            alpha = jnp.where(
+                (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live),
+                0.0, alpha)
+
+            # exclusive cumprod of (1 - alpha) along the instance (lane) axis
+            incl = 1.0 - alpha
+            s = 1
+            while s < CHUNK:
+                shifted = jnp.where(lane >= s, pltpu.roll(incl, s, 1), 1.0)
+                incl = incl * shifted
+                s *= 2
+            excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
+
+            w = alpha * excl * trans                          # [p, CHUNK]
+            # channels: r g b depth ones — the ones channel telescopes to
+            # sum(w) = delta of (1 - T), keeping everything lane-major
+            chans = jnp.concatenate(
+                [blk[5:8, :], blk[9:10, :], jnp.ones((1, CHUNK), jnp.float32)],
+                axis=0)                                       # [5, CHUNK]
+            acc = acc + jax.lax.dot_general(
+                chans, w, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)           # [5, p]
+            trans = trans * incl[:, CHUNK - 1:CHUNK]          # [p, 1]
+            return (ci + 1, trans, acc)
 
         def chunk_cond(state):
             ci, trans = state[0], state[1]
             return (ci < n_chunks) & (jnp.max(trans) > TRANS_EPS)
 
-        ones = jnp.ones((rows, lanes), jnp.float32)
-        zeros = jnp.zeros((rows, lanes), jnp.float32)
-        ci_end, trans, r0, r1, r2, dep = jax.lax.while_loop(
-            chunk_cond, chunk_body, (0, ones, zeros, zeros, zeros, zeros))
+        ci_end, trans, acc = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (0, jnp.ones((p, 1), jnp.float32), jnp.zeros((5, p), jnp.float32)))
 
         # Early transmittance exit can leave the prefetched chunk's DMA in
         # flight; drain it so the next grid step's semaphores start clean.
@@ -205,11 +289,14 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
         def _():
             get_dma(ci_end % 2, ci_end).wait()
 
-        rgb_ref[0, 0] = r0 + trans * bg[0]
-        rgb_ref[0, 1] = r1 + trans * bg[1]
-        rgb_ref[0, 2] = r2 + trans * bg[2]
-        dep_ref[0] = dep
-        acc_ref[0] = 1.0 - trans
+        alpha_img = acc[4:5, :]                               # [1, p] = 1 - T
+        t_final = 1.0 - alpha_img
+        out_ref[0] = jnp.concatenate(
+            [acc[0:1, :] + t_final * bg[0],
+             acc[1:2, :] + t_final * bg[1],
+             acc[2:3, :] + t_final * bg[2],
+             acc[3:4, :], alpha_img,
+             jnp.zeros((3, p), jnp.float32)], axis=0)         # [8, p]
 
     return kernel
 
@@ -217,7 +304,7 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_size", "win", "bg_static",
-                     "interpret"),
+                     "interpret", "big_cap"),
 )
 def rasterize_pallas(
     proj: ProjectedGaussians,
@@ -227,6 +314,7 @@ def rasterize_pallas(
     tile_size: int = 16,
     win: int = 5,
     interpret: bool = False,
+    big_cap: int | None = None,
 ):
     """Rasterize via the Pallas tile kernel. Background is static (a python
     tuple) since it's baked into the kernel epilogue.
@@ -238,48 +326,37 @@ def rasterize_pallas(
     tw, th = width // tile_size, height // tile_size
     n_tiles = tw * th
     p = tile_size * tile_size
-    rows, lanes = p // 128, 128
 
-    inst, starts, counts, aux = pack_instances(proj, tw, th, tile_size, win)
+    packed = sorted_pack(proj, tw, th, tile_size, win, big_cap=big_cap)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
-            pl.BlockSpec((1, 3, rows, lanes), lambda i, *_: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, lanes), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, lanes), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            # SMEM: per-Gaussian params are consumed as broadcast scalars and
-            # SMEM allows arbitrary dynamic scalar indexing (VMEM lane offsets
-            # must be 128-aligned).
-            pltpu.SMEM((2, CHUNK // PACK_PER_ROW, PACK_PER_ROW * PACK16),
-                       jnp.float32),
+            pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
-    rgb_t, dep_t, acc_t = pl.pallas_call(
+    (out_t,) = pl.pallas_call(
         _kernel(tile_size, tw, bg_static),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 3, rows, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, rows, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8, p), jnp.float32),
         ],
         interpret=interpret,
-    )(starts, counts, inst)
+    )(packed.starts, packed.counts, packed.rows16)
 
     def to_image(tiled, ch):
         flat = tiled.reshape(th, tw, ch, tile_size, tile_size)
         return flat.transpose(2, 0, 3, 1, 4).reshape(ch, height, width)
 
-    rgb = to_image(rgb_t.reshape(n_tiles, 3, p), 3)
-    dep = to_image(dep_t.reshape(n_tiles, 1, p), 1)
-    acc = to_image(acc_t.reshape(n_tiles, 1, p), 1)
-    return rgb, dep, acc, aux
+    rgb = to_image(out_t[:, 0:3, :], 3)
+    dep = to_image(out_t[:, 3:4, :], 1)
+    acc = to_image(out_t[:, 4:5, :], 1)
+    return rgb, dep, acc, packed.aux

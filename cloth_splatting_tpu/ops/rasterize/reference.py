@@ -7,6 +7,7 @@ N * H * W modest (tests use <= 2k Gaussians at <= 256^2).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cloth_splatting_tpu.ops.projection import (
@@ -58,8 +59,12 @@ def rasterize_reference(
         axis=0,
     )                                                     # [N, P]
     w = trans * alpha                                     # compositing weights
-    rgb = jnp.einsum("np,nc->cp", w, color)
-    dep = jnp.einsum("np,n->p", w, depth)
+    # HIGHEST: on TPU the default einsum precision is bf16 passes, which
+    # would put ~3e-3 of error in the ground truth itself.
+    rgb = jnp.einsum("np,nc->cp", w, color,
+                     precision=jax.lax.Precision.HIGHEST)
+    dep = jnp.einsum("np,n->p", w, depth,
+                     precision=jax.lax.Precision.HIGHEST)
     acc = jnp.sum(w, axis=0)
     t_final = jnp.prod(one_minus, axis=0)
     rgb = rgb + t_final[None, :] * bg_color[:, None]
