@@ -34,7 +34,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 BASELINE_FPS = 100.0
 
 
-def measure_fps(res: int, n_views: int = 20, width: int = 800,
+def measure_fps(res: int, n_views: int = 40, width: int = 800,
                 height: int = 800) -> float:
     import jax
     import jax.numpy as jnp
@@ -92,10 +92,57 @@ def measure_fps(res: int, n_views: int = 20, width: int = 800,
     return (n_views - 1) / elapsed
 
 
+def measure_train_iters(width: int = 800, height: int = 800,
+                        n_iters: int = 20) -> float:
+    """Full splat train step (3-camera batch, value_and_grad through the
+    Pallas custom-VJP rasterizer, dual Adam, density stats) — the reference
+    pipeline's other headline number (BASELINE.json: train iters/sec)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+    from cloth_splatting_tpu.models import gaussians as G
+    from cloth_splatting_tpu.ops.camera import Camera
+    from cloth_splatting_tpu.render import CameraArrays, camera_arrays
+    from cloth_splatting_tpu.train.config import Config
+    from cloth_splatting_tpu.train.step import Trainer
+
+    fov = 2 * np.arctan(0.4)
+    mesh = grid_cloth_mesh(32, 32, size=1.4)
+    cfg = Config()
+    trainer = Trainer(cfg, mesh, jnp.tile(mesh.pos[None], (3, 1, 1)),
+                      width, height, np.tan(fov / 2), np.tan(fov / 2), 2.0)
+    rng = np.random.default_rng(0)
+    params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2,
+                                      capacity=4096)
+    state = trainer.init_state(rng, params, gstate)
+    cam = Camera.create(R=np.eye(3), t=np.asarray([0.0, 0.0, 3.0]),
+                        fovx=fov, fovy=fov, width=width, height=height,
+                        time=0.5)
+    arrs = [camera_arrays(dataclasses.replace(cam, time=float(t)))
+            for t in (0.0, 0.5, 1.0)]
+    cams = CameraArrays(*[jnp.stack([getattr(a, f) for a in arrs])
+                          for f in CameraArrays._fields])
+    gts = jnp.full((3, 3, height, width), 0.5, jnp.float32)
+
+    state, m = trainer.step(state, cams, gts, None, sh_degree=1, static=False)
+    jax.block_until_ready(m.loss)
+    t0 = time.time()
+    for _ in range(n_iters):
+        state, m = trainer.step(state, cams, gts, None, sh_degree=1,
+                                static=False)
+    jax.block_until_ready(m.loss)
+    return n_iters / (time.time() - t0)
+
+
 def main() -> None:
     fps_4k = measure_fps(32)
     fps_16k = measure_fps(64)
     fps_65k = measure_fps(128)
+    train_ips = measure_train_iters()
 
     print(json.dumps({
         "metric": "render_fps_800x800_65k_gaussians",
@@ -104,6 +151,7 @@ def main() -> None:
         "vs_baseline": round(fps_65k / BASELINE_FPS, 4),
         "fps_4k_gaussians": round(fps_4k, 2),
         "fps_16k_gaussians": round(fps_16k, 2),
+        "train_iters_per_sec_800x800": round(train_ips, 2),
     }))
 
 

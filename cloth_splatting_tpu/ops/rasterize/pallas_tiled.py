@@ -324,10 +324,23 @@ def rasterize_pallas(
     if width % tile_size or height % tile_size:
         raise ValueError("width/height must be multiples of tile_size")
     tw, th = width // tile_size, height // tile_size
-    n_tiles = tw * th
-    p = tile_size * tile_size
 
     packed = sorted_pack(proj, tw, th, tile_size, win, big_cap=big_cap)
+    out_t = raster_forward_tiles(packed, width, height, tile_size, bg_static,
+                                 interpret)
+    rgb, dep, acc = tiles_to_images(out_t, width, height, tile_size)
+    return rgb, dep, acc, packed.aux
+
+
+def raster_forward_tiles(packed: PackedTiles, width: int, height: int,
+                         tile_size: int,
+                         bg_static: tuple[float, float, float],
+                         interpret: bool = False) -> jnp.ndarray:
+    """Run the compositing kernel; returns raw tiled output
+    [n_tiles, 8, tile_size^2] with channels (r, g, b, depth, alpha, 0,0,0)."""
+    tw, th = width // tile_size, height // tile_size
+    n_tiles = tw * th
+    p = tile_size * tile_size
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -351,6 +364,13 @@ def rasterize_pallas(
         ],
         interpret=interpret,
     )(packed.starts, packed.counts, packed.rows16)
+    return out_t
+
+
+def tiles_to_images(out_t: jnp.ndarray, width: int, height: int,
+                    tile_size: int):
+    tw, th = width // tile_size, height // tile_size
+    n_tiles = tw * th
 
     def to_image(tiled, ch):
         flat = tiled.reshape(th, tw, ch, tile_size, tile_size)
@@ -359,4 +379,4 @@ def rasterize_pallas(
     rgb = to_image(out_t[:, 0:3, :], 3)
     dep = to_image(out_t[:, 3:4, :], 1)
     acc = to_image(out_t[:, 4:5, :], 1)
-    return rgb, dep, acc, packed.aux
+    return rgb, dep, acc

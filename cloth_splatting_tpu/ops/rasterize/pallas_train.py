@@ -1,0 +1,375 @@
+"""Differentiable Pallas rasterization (custom VJP) — the training tier.
+
+Forward = the serving kernel (sort-binned exact-depth instance lists,
+vectorized compositing; pallas_tiled.py). Backward = a second Pallas kernel
+that re-materializes each tile's compositing walk in REVERSE chunk order and
+emits analytic gradients for every instance, matching the CUDA rasterizer's
+backward contract (grads to means2D/conic/color/opacity, SURVEY.md
+section 2.1 row 1; reference gaussian_renderer/__init__.py:49-53 retains the
+viewspace mean2D gradient for density control — here that arrives through
+the xy cotangent).
+
+Backward math per tile (out_c = sum_i c_i a_i T_i + bg_c T_N):
+    dL/dc_i   = g_c w_i
+    dL/da_i   = u_i T_i + (K - S_i) / (1 - a_i)
+        u_i = sum_c g_c c_i        (per-pixel-instance "color dot grad")
+        S_i = sum_{j>i} u_j w_j    (suffix, reverse lane cumsum + carry)
+        K   = (g_acc - sum_c g_c bg_c) T_N
+    T_i is re-derived chunk-locally: T_chunk_start = T_chunk_end /
+    incl[last] (alpha <= 0.99 keeps the division conditioned; the CUDA
+    backward uses the same back-to-front division).
+
+Per-instance reductions over pixels collapse into TWO MXU matmuls per
+chunk: color/depth grads are g4^T @ w, and all conic/xy/opacity grads are
+linear combinations of the moments sum_p dpow * px^a py^b for
+(a,b) in {00,10,01,20,11,02} — one [p, 6]^T @ [p, CHUNK] matmul in
+TILE-LOCAL pixel coordinates (global coords would lose ~3 digits to
+cancellation).
+
+Instance gradients land param-major in HBM ([16, B]); tiles sharing a
+boundary chunk resolve it by read-accumulate-write (the grid is sequential,
+so the earlier tile's flush is ordered before the later tile's read). An
+XLA segment_sum over the sorted Gaussian ids then reduces instances to
+per-Gaussian gradients — dead slots carry the sentinel id N and fall off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cloth_splatting_tpu.ops.projection import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    ProjectedGaussians,
+)
+from cloth_splatting_tpu.ops.rasterize.pallas_tiled import (
+    CHUNK,
+    PACK16,
+    PackedTiles,
+    raster_forward_tiles,
+    sorted_pack,
+    tiles_to_images,
+)
+
+GCH = 8  # grad-image channels: g_r g_g g_b g_dep g_acc acc_fwd pad pad
+
+
+def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
+    p = tile_size * tile_size
+
+    def kernel(start_ref, count_ref, rows16_hbm, gimg_ref, grads_in_hbm,
+               grads_hbm, buf, gout, sem, osem):
+        # grads_in_hbm is the zero-initialized alias of grads_hbm; all
+        # traffic goes through the output ref (same memory)
+        del grads_in_hbm
+        i = pl.program_id(0)
+        # tile-local pixel coordinates, centered to keep moments conditioned
+        half = tile_size / 2.0
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        px = (pidx % tile_size).astype(jnp.float32) - half
+        py = (pidx // tile_size).astype(jnp.float32) - half
+        ox = (i % tw) * tile_size + half
+        oy = (i // tw) * tile_size + half
+
+        start = start_ref[i]
+        count = count_ref[i]
+        astart = (start // CHUNK) * CHUNK
+        n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
+
+        g_r = gimg_ref[0, :, 0:1]                           # [p, 1]
+        g_g = gimg_ref[0, :, 1:2]
+        g_b = gimg_ref[0, :, 2:3]
+        g_d = gimg_ref[0, :, 3:4]
+        g_a = gimg_ref[0, :, 4:5]
+        t_fin = 1.0 - gimg_ref[0, :, 5:6]                   # T_N = 1 - acc
+        kk = (g_a - (g_r * bg[0] + g_g * bg[1] + g_b * bg[2])) * t_fin
+        g4 = gimg_ref[0, :, 0:4]                            # [p, 4]
+        # pixel polynomial basis for the moment matmul
+        p6 = jnp.concatenate(
+            [jnp.ones((p, 1), jnp.float32), px, py, px * px, px * py, py * py],
+            axis=1)                                         # [p, 6]
+
+        def get_dma(slot, chunk_idx):
+            c0 = astart + chunk_idx * CHUNK
+            return pltpu.make_async_copy(
+                rows16_hbm.at[:, pl.ds(c0, CHUNK)], buf.at[slot], sem.at[slot])
+
+        def put_dma(slot, chunk_idx):
+            c0 = astart + chunk_idx * CHUNK
+            return pltpu.make_async_copy(
+                gout.at[slot], grads_hbm.at[:, pl.ds(c0, CHUNK)], osem.at[slot])
+
+        def read_back_dma(slot, chunk_idx):
+            c0 = astart + chunk_idx * CHUNK
+            return pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(c0, CHUNK)], gout.at[slot], osem.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, n_chunks - 1).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        def chunk_body(k, carry):
+            # k runs 0..n_chunks-1; chunk index walks BACKWARD
+            ci = n_chunks - 1 - k
+            t_end, s_tail = carry
+
+            @pl.when(k + 1 < n_chunks)
+            def _():
+                get_dma((k + 1) % 2, ci - 1).start()
+
+            get_dma(k % 2, ci).wait()
+            blk = buf[k % 2]                                # [16, CHUNK]
+
+            gx = blk[0:1, :] - ox                           # tile-local
+            gy = blk[1:2, :] - oy
+            ca = blk[2:3, :]
+            cb = blk[3:4, :]
+            cc = blk[4:5, :]
+            op = blk[8:9, :]
+            cut = blk[10:11, :]
+
+            pos = astart + ci * CHUNK + lane
+            live = (pos >= start) & (pos < start + count)
+
+            dx = px - gx
+            dy = py - gy
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            expp = jnp.exp(power)
+            a_raw = op * expp
+            clamped = a_raw > ALPHA_MAX
+            alpha = jnp.minimum(ALPHA_MAX, a_raw)
+            dead = (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live)
+            alpha = jnp.where(dead, 0.0, alpha)
+
+            # forward cumprods within the chunk
+            incl = 1.0 - alpha
+            s = 1
+            while s < CHUNK:
+                shifted = jnp.where(lane >= s, pltpu.roll(incl, s, 1), 1.0)
+                incl = incl * shifted
+                s *= 2
+            excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
+            t_start = t_end / jnp.maximum(incl[:, CHUNK - 1:CHUNK], 1e-12)
+            t_i = t_start * excl                            # [p, CHUNK]
+            w = alpha * t_i
+
+            # u = sum_c g_c c_i + g_dep d_i
+            u = (g_r * blk[5:6, :] + g_g * blk[6:7, :] + g_b * blk[7:8, :]
+                 + g_d * blk[9:10, :])                      # [p, CHUNK]
+
+            # suffix S_i = s_tail + sum_{j>i in chunk} u_j w_j:
+            # inclusive reverse cumsum via log-step left rolls, then subtract
+            # the diagonal to make it exclusive
+            uw = u * w
+            cum = uw
+            s = 1
+            while s < CHUNK:
+                # left shift by s == circular roll by CHUNK - s, masked
+                cum = cum + jnp.where(lane < CHUNK - s,
+                                      pltpu.roll(cum, CHUNK - s, 1), 0.0)
+                s *= 2
+            suffix = cum - uw + s_tail                      # exclusive + tail
+
+            dl_da = u * t_i + (kk - suffix) / jnp.maximum(1.0 - alpha, 1e-3)
+            grad_gate = dead | clamped
+            dpow = jnp.where(grad_gate, 0.0, dl_da * a_raw)
+            dop_pix = jnp.where(grad_gate, 0.0, dl_da * expp)
+
+            # per-instance reductions on the MXU
+            cg = jax.lax.dot_general(
+                g4, w, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)         # [4, CHUNK]
+            mom = jax.lax.dot_general(
+                p6, dpow, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)         # [6, CHUNK]
+            dop = jnp.sum(dop_pix, axis=0, keepdims=True)   # [1, CHUNK]
+
+            m00 = mom[0:1, :]
+            m10 = mom[1:2, :]
+            m01 = mom[2:3, :]
+            m20 = mom[3:4, :]
+            m11 = mom[4:5, :]
+            m02 = mom[5:6, :]
+            # sum dpow*dx^a dy^b from raw moments (dx = px - gx)
+            sdx = m10 - gx * m00
+            sdy = m01 - gy * m00
+            sdx2 = m20 - 2.0 * gx * m10 + gx * gx * m00
+            sdy2 = m02 - 2.0 * gy * m01 + gy * gy * m00
+            sdxdy = m11 - gy * m10 - gx * m01 + gx * gy * m00
+
+            dgx = ca * sdx + cb * sdy      # d power/d gx = ca dx + cb dy
+            dgy = cc * sdy + cb * sdx
+            dca = -0.5 * sdx2
+            dcb = -sdxdy
+            dcc = -0.5 * sdy2
+
+            zero = jnp.zeros((1, CHUNK), jnp.float32)
+            gblk = jnp.concatenate(
+                [dgx, dgy, dca, dcb, dcc,
+                 cg[0:1], cg[1:2], cg[2:3], dop, cg[3:4],
+                 zero, zero, zero, zero, zero, zero], axis=0)  # [16, CHUNK]
+            gblk = jnp.where(live, gblk, 0.0)
+
+            # first (lowest-address) chunk may share rows with the previous
+            # tile's tail: read what it wrote, accumulate, write back
+            oslot = k % 2
+            is_boundary = (ci == 0) & (astart < start)
+
+            @pl.when(is_boundary)
+            def _():
+                read_back_dma(oslot, ci).start()
+                read_back_dma(oslot, ci).wait()
+                gout[oslot] = gout[oslot] + gblk
+
+            @pl.when(~is_boundary)
+            def _():
+                gout[oslot] = gblk
+
+            put_dma(oslot, ci).start()
+            put_dma(oslot, ci).wait()
+
+            t_end_new = t_start
+            s_tail_new = s_tail + jnp.sum(uw, axis=1, keepdims=True)
+            return (t_end_new, s_tail_new)
+
+        t0 = t_fin
+        s0 = jnp.zeros((p, 1), jnp.float32)
+        jax.lax.fori_loop(0, n_chunks, chunk_body, (t0, s0))
+
+    return kernel
+
+
+def _run_backward(packed: PackedTiles, gimg_t: jnp.ndarray, width: int,
+                  height: int, tile_size: int,
+                  bg: tuple[float, float, float],
+                  interpret: bool) -> jnp.ndarray:
+    """Returns per-instance grads, param-major [16, B_pad]."""
+    tw, th = width // tile_size, height // tile_size
+    n_tiles = tw * th
+    p = tile_size * tile_size
+    b_pad = packed.rows16.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # rows16
+            pl.BlockSpec((1, p, GCH), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # grad images
+            pl.BlockSpec(memory_space=pl.ANY),                 # grads in/out
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    zeros = jnp.zeros((PACK16, b_pad), jnp.float32)
+    (grads16,) = pl.pallas_call(
+        _bwd_kernel(tile_size, tw, bg),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((PACK16, b_pad), jnp.float32)],
+        # aliases index ALL inputs incl. scalar-prefetch: the zeros buffer
+        # (input 4) IS the output, so untouched regions stay zero
+        input_output_aliases={4: 0},
+        interpret=interpret,
+    )(packed.starts, packed.counts, packed.rows16, gimg_t, zeros)
+    return grads16
+
+
+def _images_to_tiles(img: jnp.ndarray, width: int, height: int,
+                     tile_size: int) -> jnp.ndarray:
+    """[C, H, W] -> [n_tiles, p, C] (pixel-major per tile)."""
+    c = img.shape[0]
+    tw, th = width // tile_size, height // tile_size
+    t = img.reshape(c, th, tile_size, tw, tile_size)
+    t = t.transpose(1, 3, 2, 4, 0).reshape(th * tw, tile_size * tile_size, c)
+    return t
+
+
+@functools.lru_cache(maxsize=32)
+def make_pallas_renderer(width: int, height: int,
+                         bg_static: tuple[float, float, float],
+                         tile_size: int = 16, win: int = 5,
+                         big_cap: int | None = None,
+                         interpret: bool = False):
+    """A differentiable rasterizer closure with a Pallas forward AND
+    backward. Returns fn(xy, depth, conic, color, opacity, valid, power_cut,
+    radius) -> (rgb, depth_img, alpha_img)."""
+    tw, th = width // tile_size, height // tile_size
+
+    def _pack(xy, depth, conic, color, opacity, valid, power_cut, radius):
+        proj = ProjectedGaussians(xy=xy, depth=depth, conic=conic,
+                                  radius=radius, color=color, opacity=opacity,
+                                  valid=valid, power_cut=power_cut)
+        return sorted_pack(proj, tw, th, tile_size, win, big_cap=big_cap)
+
+    @jax.custom_vjp
+    def raster(xy, depth, conic, color, opacity, valid, power_cut, radius):
+        packed = _pack(xy, depth, conic, color, opacity, valid, power_cut,
+                       radius)
+        out_t = raster_forward_tiles(packed, width, height, tile_size,
+                                     bg_static, interpret)
+        return tiles_to_images(out_t, width, height, tile_size)
+
+    def fwd(xy, depth, conic, color, opacity, valid, power_cut, radius):
+        packed = _pack(xy, depth, conic, color, opacity, valid, power_cut,
+                       radius)
+        out_t = raster_forward_tiles(packed, width, height, tile_size,
+                                     bg_static, interpret)
+        images = tiles_to_images(out_t, width, height, tile_size)
+        n = xy.shape[0]
+        acc = images[2]
+        return images, (packed, acc, n)
+
+    def bwd(res, cots):
+        packed, acc, n = res
+        g_rgb, g_dep, g_acc = cots
+        gimg = jnp.concatenate(
+            [g_rgb, g_dep, g_acc, acc,
+             jnp.zeros((GCH - 6, height, width), jnp.float32)], axis=0)
+        gimg_t = _images_to_tiles(gimg, width, height, tile_size)
+        grads16 = _run_backward(packed, gimg_t, width, height, tile_size,
+                                bg_static, interpret)
+        # reduce instances -> gaussians (sentinel id n catches dead slots)
+        per_inst = grads16.T                                  # [B_pad, 16]
+        per_gauss = jax.ops.segment_sum(
+            per_inst, packed.gauss_idx, num_segments=n + 1)[:n]
+        d_xy = per_gauss[:, 0:2]
+        d_conic = per_gauss[:, 2:5]
+        d_color = per_gauss[:, 5:8]
+        d_op = per_gauss[:, 8]
+        d_depth = per_gauss[:, 9]
+        return (d_xy, d_depth, d_conic, d_color, d_op, None, None, None)
+
+    raster.defvjp(fwd, bwd)
+    return raster
+
+
+def rasterize_pallas_grad(proj: ProjectedGaussians, width: int, height: int,
+                          bg_static: tuple[float, float, float],
+                          tile_size: int = 16, win: int = 5,
+                          big_cap: int | None = None,
+                          interpret: bool = False):
+    """Differentiable Pallas rasterization of a ProjectedGaussians bundle.
+
+    Gradients flow to xy, depth, conic, color and opacity; radius/valid/
+    power_cut are treated as non-differentiable (they gate support, matching
+    the CUDA kernel which takes no gradient through its tile bounds).
+    """
+    fn = make_pallas_renderer(width, height, bg_static, tile_size, win,
+                              big_cap, interpret)
+    return fn(proj.xy, proj.depth, proj.conic, proj.color, proj.opacity,
+              proj.valid, proj.power_cut, proj.radius)

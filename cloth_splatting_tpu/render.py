@@ -83,6 +83,8 @@ def render(
     override_vertices: jnp.ndarray | None = None,
     k_cap: int = 512,
     k_chunk: int = 32,
+    backend: str = "tiled",
+    bg_static: tuple[float, float, float] | None = None,
 ) -> RenderOutput:
     """Render one camera. ``sh_degree`` is the ACTIVE degree (static int).
 
@@ -126,9 +128,27 @@ def render(
         scale = jnp.asarray([width / 2.0, height / 2.0], dtype=proj.xy.dtype)
         proj = proj._replace(xy=proj.xy + screen_offset * scale)
 
-    rgb, depth, alpha, aux = rasterize_tiled(
-        proj, width, height, bg_color, k_cap=k_cap, k_chunk=k_chunk
-    )
+    if backend == "pallas":
+        # Differentiable Pallas tier (custom VJP): no k_cap, exact depth
+        # ordering. Background must be static (baked into the kernel).
+        import jax
+
+        from cloth_splatting_tpu.ops.rasterize.pallas_train import (
+            rasterize_pallas_grad,
+        )
+
+        if bg_static is None:
+            raise ValueError("backend='pallas' requires bg_static")
+        rgb, depth, alpha = rasterize_pallas_grad(
+            proj, width, height, bg_static,
+            interpret=jax.default_backend() == "cpu",
+        )
+        n_dropped = jnp.zeros((), jnp.int32)
+    else:
+        rgb, depth, alpha, aux = rasterize_tiled(
+            proj, width, height, bg_color, k_cap=k_cap, k_chunk=k_chunk
+        )
+        n_dropped = aux.n_dropped
 
     return RenderOutput(
         rgb=rgb,
@@ -140,5 +160,5 @@ def render(
         vertices=vertices,
         rotations=rotations,
         projections=proj.xy,
-        n_dropped=aux.n_dropped,
+        n_dropped=n_dropped,
     )

@@ -96,6 +96,9 @@ class OptimizationConfig:
     # TPU-tier knobs (ours)
     raster_k_cap: int = 512
     raster_k_chunk: int = 32
+    # "auto": Pallas custom-VJP rasterizer on TPU, dense XLA tier on CPU;
+    # "pallas" / "tiled" force one
+    raster_backend: str = "auto"
 
 
 @dataclasses.dataclass

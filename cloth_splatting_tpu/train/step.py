@@ -72,6 +72,11 @@ class Trainer:
         self.sim_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
         bg = [1.0, 1.0, 1.0] if cfg.model.white_background else [0.0, 0.0, 0.0]
         self.bg_color = jnp.asarray(bg, jnp.float32)
+        self.bg_static = tuple(bg)
+        backend = getattr(cfg.opt, "raster_backend", "auto")
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() != "cpu" else "tiled"
+        self.backend = backend
 
     # ------------------------------------------------------------------ init
 
@@ -164,9 +169,15 @@ class Trainer:
                     self.mesh_predictions, self.bg_color, sh_degree,
                     screen_offset=screen_offset, render_static=static,
                     k_cap=o.raster_k_cap, k_chunk=o.raster_k_chunk,
+                    backend=self.backend, bg_static=self.bg_static,
                 )
 
-            outs: RenderOutput = jax.vmap(render_one)(cams)
+            if self.backend == "pallas":
+                # pallas_call doesn't batch under vmap; the cameras run
+                # sequentially inside one program (same total kernel work)
+                outs: RenderOutput = jax.lax.map(render_one, cams)
+            else:
+                outs: RenderOutput = jax.vmap(render_one)(cams)
             images = outs.rgb                                   # [B, 3, H, W]
             loss, ldict = image_losses(images, gt_images, o.lambda_dssim,
                                        masks if has_masks else None)

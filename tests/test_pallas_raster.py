@@ -84,3 +84,87 @@ class TestPallasParity:
         assert diff < 0.15, diff
         # no silent truncation accounting: aux reports zero dropped
         assert int(aux.n_dropped) == 0
+
+
+class TestPallasVJP:
+    """Custom-VJP training tier: analytic backward kernel vs oracle autodiff
+    (reference backward contract: grads to means2D/conic/color/opacity,
+    SURVEY.md section 2.1 row 1)."""
+
+    def _losses(self, proj, tgt):
+        from cloth_splatting_tpu.ops.rasterize.pallas_train import (
+            rasterize_pallas_grad,
+        )
+
+        def loss_oracle(xy, conic, color, op, depth):
+            p = proj._replace(xy=xy, conic=conic, color=color, opacity=op,
+                              depth=depth)
+            rgb, dep, acc = rasterize_reference(p, W, H, jnp.ones(3))
+            return (jnp.mean((rgb - tgt) ** 2) + 0.1 * jnp.mean(dep)
+                    + 0.05 * jnp.mean(acc))
+
+        def loss_pallas(xy, conic, color, op, depth):
+            p = proj._replace(xy=xy, conic=conic, color=color, opacity=op,
+                              depth=depth)
+            rgb, dep, acc = rasterize_pallas_grad(p, W, H, (1.0, 1.0, 1.0),
+                                                  interpret=True)
+            return (jnp.mean((rgb - tgt) ** 2) + 0.1 * jnp.mean(dep)
+                    + 0.05 * jnp.mean(acc))
+
+        return loss_oracle, loss_pallas
+
+    @pytest.mark.parametrize("seed", [0, 2])
+    def test_grads_match_oracle(self, seed):
+        import jax
+
+        proj = project_scene(n=48, seed=seed)
+        tgt = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (3, H, W)), jnp.float32)
+        loss_o, loss_p = self._losses(proj, tgt)
+        args = (proj.xy, proj.conic, proj.color, proj.opacity, proj.depth)
+        np.testing.assert_allclose(float(loss_o(*args)), float(loss_p(*args)),
+                                   rtol=1e-5)
+        g_o = jax.grad(loss_o, argnums=(0, 1, 2, 3, 4))(*args)
+        g_p = jax.grad(loss_p, argnums=(0, 1, 2, 3, 4))(*args)
+        for name, a, b in zip(("xy", "conic", "color", "op", "depth"),
+                              g_o, g_p):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-4 * scale, err_msg=name)
+
+    def test_train_step_pallas_backend(self):
+        """One splat train step through the Pallas custom-VJP path (interpret
+        mode on CPU) produces finite loss and updates parameters."""
+        import dataclasses
+
+        import jax
+        from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+        from cloth_splatting_tpu.models import gaussians as G
+        from cloth_splatting_tpu.ops.camera import Camera
+        from cloth_splatting_tpu.render import CameraArrays, camera_arrays
+        from cloth_splatting_tpu.train.config import Config
+        from cloth_splatting_tpu.train.step import Trainer
+
+        fov = 2 * np.arctan(0.4)
+        mesh = grid_cloth_mesh(4, 4, size=1.2)
+        cfg = Config()
+        cfg.opt.raster_backend = "pallas"
+        trainer = Trainer(cfg, mesh, jnp.tile(mesh.pos[None], (3, 1, 1)),
+                          32, 32, np.tan(fov / 2), np.tan(fov / 2), 2.0)
+        rng = np.random.default_rng(0)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2,
+                                          capacity=128)
+        state = trainer.init_state(rng, params, gstate)
+        cam = Camera.create(R=np.eye(3), t=np.asarray([0.0, 0.0, 3.0]),
+                            fovx=fov, fovy=fov, width=32, height=32, time=0.5)
+        arrs = [camera_arrays(dataclasses.replace(cam, time=float(t)))
+                for t in (0.0, 1.0)]
+        cams = CameraArrays(*[jnp.stack([getattr(a, f) for a in arrs])
+                              for f in CameraArrays._fields])
+        gts = jnp.full((2, 3, 32, 32), 0.5, jnp.float32)
+        new_state, m = trainer.step(state, cams, gts, None, sh_degree=0,
+                                    static=True)
+        assert np.isfinite(float(m.loss))
+        moved = jnp.abs(new_state.params.features_dc
+                        - state.params.features_dc).max()
+        assert float(moved) > 0.0
