@@ -8,10 +8,18 @@ weight squared differences with the learned 1x1 linear heads, spatial-mean
 and sum over taps.
 
 This environment has no network egress and no bundled pretrained weights, so
-weights load from an .npz exported by ``scripts/export_lpips_weights.py``
-(run it anywhere with torch+lpips installed and point --lpips_weights at the
-file). Without weights, callers should skip LPIPS (metrics.py reports null
-and says why) — random-weight LPIPS numbers would be meaningless.
+two weight sources exist:
+
+  * real LPIPS-vgg weights from an .npz exported by
+    ``scripts/export_lpips_weights.py`` (run anywhere with torch+lpips and
+    point --lpips_weights at the file) — numbers comparable to published
+    LPIPS;
+  * ``fixture_weights()`` — a DETERMINISTIC He-initialized VGG with uniform
+    linear heads (seeded, identical on every machine/run). Fixture numbers
+    are a valid perceptual-distance *metric* (monotone in feature-space
+    distortion, 0 for identical images) and reproducible for regression
+    tracking within this framework, but are NOT comparable to published
+    LPIPS values; metrics.py labels them ``lpips_weights: fixture-v1``.
 """
 
 from __future__ import annotations
@@ -39,6 +47,32 @@ def load_weights(path: str) -> dict:
 
 def available(path: str | None) -> bool:
     return bool(path) and os.path.exists(path)
+
+
+FIXTURE_VERSION = "fixture-v1"
+
+
+def fixture_weights(seed: int = 0) -> dict:
+    """Deterministic He-initialized VGG16 + uniform linear heads.
+
+    Bit-identical across machines for a given seed (one
+    ``np.random.default_rng`` stream in a fixed key order), so fixture-LPIPS
+    values are stable regression metrics even though they are not comparable
+    to published (pretrained) LPIPS numbers.
+    """
+    rng = np.random.default_rng(seed)
+    weights: dict[str, np.ndarray] = {}
+    cin = 3
+    for b, (cout, n_convs) in enumerate(VGG_BLOCKS):
+        for i in range(n_convs):
+            fan_in = 3 * 3 * cin
+            std = np.sqrt(2.0 / fan_in)
+            weights[f"conv_{b}_{i}_w"] = rng.normal(
+                0.0, std, (3, 3, cin, cout)).astype(np.float32)
+            weights[f"conv_{b}_{i}_b"] = np.zeros(cout, np.float32)
+            cin = cout
+        weights[f"lin_{b}"] = np.full(cout, 1.0 / cout, np.float32)
+    return weights
 
 
 def _vgg_features(weights: dict, x: jnp.ndarray) -> list[jnp.ndarray]:

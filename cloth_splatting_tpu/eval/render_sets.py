@@ -104,6 +104,7 @@ def render_set(
     sh_degree: int = 3,
     log_deform: bool = False,
     track_vertices: bool = False,
+    show_flow: bool = False,
     k_cap: int = 512,
 ) -> dict:
     """Render one camera list; returns {'fps': ..., 'out_dir': ...}."""
@@ -135,7 +136,7 @@ def render_set(
     for cam in cameras:
         out = render_one(camera_arrays(cam))
         frames.append(np.asarray(jnp.clip(out.rgb, 0, 1)))
-        if log_deform:
+        if log_deform or show_flow:
             deform_logs.append({
                 "means3D_deform": np.asarray(out.means3d),
                 "vertice_deform": np.asarray(out.vertices),
@@ -163,6 +164,27 @@ def render_set(
             imageio.mimwrite(os.path.join(out_dir, "video_rgb.mp4"), video, fps=30)
         except Exception as exc:  # codec availability varies
             print(f"video export skipped: {exc}")
+
+    if show_flow:
+        # occlusion-masked tracked points + trajectory tails
+        # (reference render.py:226-286 --show_flow path)
+        from cloth_splatting_tpu.eval.flow_viz import draw_tracks, occlusion_mask
+
+        flow_dir = os.path.join(out_dir, "flow")
+        os.makedirs(flow_dir, exist_ok=True)
+        alive_idx = np.flatnonzero(np.asarray(state.alive))
+        m = min(128, len(alive_idx))
+        sel = alive_idx[np.linspace(0, len(alive_idx) - 1, m).astype(int)]
+        track = [d["projections"][sel] for d in deform_logs]
+        for t, (img, cam, d) in enumerate(zip(frames, cameras, deform_logs)):
+            wv = np.asarray(camera_arrays(cam).world_view)  # row-vector W2C
+            pts = d["means3D_deform"][sel]
+            z = pts @ wv[:3, 2] + wv[3, 2]                  # camera depth
+            vis = occlusion_mask(track[t], z, d["depth"][0])
+            overlay = draw_tracks(
+                (img.transpose(1, 2, 0) * 255).astype(np.uint8),
+                track[:t + 1], vis)
+            imageio.imwrite(os.path.join(flow_dir, f"{t:05d}.png"), overlay)
 
     if log_deform:
         alive = np.asarray(state.alive)

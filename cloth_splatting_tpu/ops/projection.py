@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from cloth_splatting_tpu.ops.quaternion import quat_to_rotmat
 from cloth_splatting_tpu.ops.smallmat import (
@@ -92,6 +93,7 @@ def project_gaussians(
     tanfovx: float,
     tanfovy: float,
     alive: jnp.ndarray | None = None,
+    max_radius: float | None = MAX_SPLAT_RADIUS,
 ) -> ProjectedGaussians:
     """Project 3D Gaussians into screen space (EWA).
 
@@ -160,7 +162,12 @@ def project_gaussians(
     mid = 0.5 * (c00 + c11)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius_raw = jnp.ceil(3.0 * jnp.sqrt(lambda1))
-    radius = jnp.minimum(radius_raw, MAX_SPLAT_RADIUS)
+    if max_radius is None:
+        # uncapped exact path: support bounded only by the screen diagonal
+        # (the CUDA reference renders arbitrarily large splats; callers must
+        # pass a matching rasterizer window)
+        max_radius = float(np.hypot(width, height))
+    radius = jnp.minimum(radius_raw, max_radius)
     power_cut = POWER_CUTOFF * (radius / jnp.maximum(radius_raw, 1.0)) ** 2
 
     valid = (tz > NEAR_CULL_Z) & (det > 0.0)

@@ -69,6 +69,15 @@ class OptimizationConfig:
     lambda_rigid: float = 0.3
     lambda_deform_mag: float = 0.01
     lambda_momentum: float = 0.1
+    # MD-Splatting kNN regularizers (reference train.py:396-412 flags +
+    # train_utils.py:104-235; drive the published lambda_iso ablation)
+    lambda_isometric: float = 0.0
+    lambda_spring: float = 0.0
+    lambda_rigidity: float = 0.0
+    lambda_w: float = 2000.0
+    k_nearest: int = 20
+    reg_iter: int = 5000
+    knn_update_iter: int = 1000
     weight_constraint_init: float = 1.0
     weight_constraint_after: float = 0.2
     weight_decay_iteration: int = 5000

@@ -174,11 +174,28 @@ def train_scene(
     n_times = scene.train.n_times
     t_start = time_mod.time()
 
+    # MD-Splatting kNN regularizers: neighborhoods refreshed on the host
+    # schedule (reference train.py:397 knn_update_iter; recomputed when the
+    # capacity changes, mirroring the diff_dimensions check)
+    use_knn = (o.lambda_isometric > 0 or o.lambda_spring > 0
+               or o.lambda_rigidity > 0)
+    knn_state = None
+    knn_capacity = -1
+
     for iteration in range(first_iter, o.iterations + 1):
         static = o.static_reconst and iteration < o.static_reconst_iteration
 
         if iteration % 1000 == 0 and sh_degree < cfg.model.sh_degree:
             sh_degree += 1
+
+        knn_active = use_knn and not static and iteration > o.reg_iter
+        if knn_active:
+            cap = state.params.face_bary.shape[0]
+            if (knn_state is None or cap != knn_capacity
+                    or iteration % o.knn_update_iter == 0):
+                knn_state = trainer.compute_knn_state(state)
+                knn_capacity = cap
+                print("updating knn's")
 
         if static:
             vi = iteration % scene.train.n_views
@@ -194,6 +211,7 @@ def train_scene(
         state, metrics = trainer.step_banked(
             state, cam_bank, gt_bank, mask_bank, vi, t_ids,
             sh_degree=sh_degree, static=static,
+            knn_state=knn_state if knn_active else None,
         )
 
         key, sub = jax.random.split(key)
@@ -207,6 +225,14 @@ def train_scene(
 
         loss = float(metrics.loss)
         psnr = float(metrics.psnr)
+        # the dense tiled tier truncates per-tile lists at k_cap; that must
+        # never pass silently (the pallas tier has no cap and reports 0)
+        n_dropped = int(metrics.n_dropped)
+        if n_dropped > 0 and iteration % progress_every == 0:
+            print(f"[iter {iteration}] WARNING: rasterizer dropped "
+                  f"{n_dropped} tile instances (k_cap={o.raster_k_cap} "
+                  f"overflow) — raise opt.raster_k_cap or use the pallas "
+                  f"backend")
         ema_loss = 0.4 * loss + 0.6 * ema_loss
         ema_psnr = 0.4 * psnr + 0.6 * ema_psnr
         if iteration % progress_every == 0:

@@ -10,6 +10,8 @@ Parity with reference scene_reconstruction/train_utils.py:50-102:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from cloth_splatting_tpu.models.gaussians import Mesh
@@ -66,5 +68,85 @@ def regularization(all_vertices: jnp.ndarray, mesh: Mesh,
     if lambda_momentum > 0.0 and n_cams >= 3:
         second_diff = all_vertices[2] - 2.0 * all_vertices[1] + all_vertices[0]
         loss = loss + lambda_momentum * jnp.sum(jnp.abs(second_diff), axis=-1).mean()
+
+    return loss
+
+
+class KnnState(NamedTuple):
+    """Neighborhoods at the t=0 deformed state, refreshed every
+    knn_update_iter (reference train.py:397, train_utils.py:113-119)."""
+
+    idx: jnp.ndarray    # [C, k] i32
+    d0: jnp.ndarray     # [C, k] f32 rest distances
+    w: jnp.ndarray      # [C, k] f32 exp(-lambda_w * d0^2)
+    valid: jnp.ndarray  # [C, k] bool
+
+
+def knn_regularization(means: jnp.ndarray, rotations: jnp.ndarray,
+                       knn: "KnnState", lambda_isometric: float,
+                       lambda_spring: float, lambda_rigidity: float):
+    """MD-Splatting kNN losses over a consecutive-time camera batch.
+
+    Parity with the reference's preserved implementation
+    (train_utils.py:125-192, external.py:50-51):
+      * iso    = mean over cams of mean(knn_dist - knn_dist_t0)  [SIGNED —
+        reference quirk kept: shrinkage below the rest distance is rewarded]
+      * spring = mean |knn_dist_i - knn_dist_{i-1}| between consecutive cams
+      * rigidity = weighted_l2_loss_v2 of the current kNN offsets rotated
+        into the previous frame's local coordinates (neighbor rotations:
+        rel = q_prev * q_curr^-1) vs the previous offsets, weights
+        exp(-lambda_w * d0^2)
+
+    Args:
+        means: [B, C, 3] deformed Gaussian centers per camera (B consecutive
+            timesteps).
+        rotations: [B, C, 4] per-Gaussian quaternions per camera.
+    """
+    import jax
+
+    from cloth_splatting_tpu.ops.quaternion import (
+        quat_inverse,
+        quat_multiply,
+        quat_to_rotmat,
+    )
+
+    b = means.shape[0]
+    idx, d0, w, valid = knn.idx, knn.d0, knn.w, knn.valid
+    vnum = jnp.maximum(jnp.sum(valid), 1.0)
+
+    def offsets_dists(m):
+        off = m[idx] - m[:, None, :]                  # [C, k, 3]
+        d = jnp.sqrt(jnp.sum(off * off, axis=-1) + 1e-20)
+        return off, d
+
+    offs, dists = jax.vmap(offsets_dists)(means)      # [B,C,k,3], [B,C,k]
+
+    loss = jnp.zeros(())
+    if lambda_isometric > 0.0:
+        l_iso = jnp.mean(jnp.sum(
+            jnp.where(valid[None], dists - d0[None], 0.0), axis=(1, 2)) / vnum)
+        loss = loss + lambda_isometric * l_iso
+
+    if lambda_spring > 0.0 and b >= 2:
+        diff = jnp.abs(dists[1:] - dists[:-1])
+        l_spring = jnp.mean(jnp.sum(
+            jnp.where(valid[None], diff, 0.0), axis=(1, 2)) / vnum)
+        loss = loss + lambda_spring * l_spring
+
+    if lambda_rigidity > 0.0 and b >= 2:
+        def rigid_pair(q_prev, q_curr, off_prev, off_curr):
+            # neighbor rotations, previous-relative (reference :167-173)
+            kq_prev = q_prev[idx].reshape(-1, 4)
+            kq_curr = q_curr[idx].reshape(-1, 4)
+            rel = quat_multiply(kq_prev, quat_inverse(kq_curr))
+            rot = quat_to_rotmat(rel)                              # [C*k,3,3]
+            cur = jnp.einsum("nij,nj->ni", rot, off_curr.reshape(-1, 3))
+            d2 = jnp.sum((cur - off_prev.reshape(-1, 3)) ** 2, axis=-1)
+            val = jnp.sqrt(d2 * w.reshape(-1) + 1e-20)
+            return jnp.sum(jnp.where(valid.reshape(-1), val, 0.0)) / vnum
+
+        l_rigid = jnp.mean(jax.vmap(rigid_pair)(
+            rotations[:-1], rotations[1:], offs[:-1], offs[1:]))
+        loss = loss + lambda_rigidity * l_rigid
 
     return loss

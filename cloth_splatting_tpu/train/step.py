@@ -35,7 +35,12 @@ from cloth_splatting_tpu.models.deform import ResidualSimulatorParams
 from cloth_splatting_tpu.ops.image import psnr
 from cloth_splatting_tpu.render import CameraArrays, RenderOutput, render
 from cloth_splatting_tpu.train.config import Config
-from cloth_splatting_tpu.train.losses import image_losses, regularization
+from cloth_splatting_tpu.train.losses import (
+    KnnState,
+    image_losses,
+    knn_regularization,
+    regularization,
+)
 from cloth_splatting_tpu.train.schedules import expon_lr
 
 
@@ -133,31 +138,36 @@ class Trainer:
     def _step_banked(self, state: SplatTrainState, cam_bank: CameraArrays,
                      gt_bank: jnp.ndarray, mask_bank: jnp.ndarray | None,
                      view_idx: jnp.ndarray, time_ids: jnp.ndarray,
-                     sh_degree: int, static: bool, has_masks: bool):
+                     sh_degree: int, static: bool, has_masks: bool,
+                     knn_state=None):
         """Step addressing an on-device (view x time) camera/image bank by
         index — the whole sampling+training iteration is one XLA program with
         zero host->device transfer."""
         cams = jax.tree_util.tree_map(lambda a: a[view_idx, time_ids], cam_bank)
         gts = gt_bank[view_idx, time_ids].astype(jnp.float32) / 255.0
         masks = mask_bank[view_idx, time_ids] if has_masks else None
-        return self._step_inner(state, cams, gts, masks, sh_degree, static, has_masks)
+        return self._step_inner(state, cams, gts, masks, sh_degree, static,
+                                has_masks, knn_state)
 
     def step_banked(self, state, cam_bank, gt_bank, mask_bank, view_idx, time_ids,
-                    sh_degree: int, static: bool):
+                    sh_degree: int, static: bool, knn_state=None):
         return self._step_banked(state, cam_bank, gt_bank, mask_bank,
                                  jnp.asarray(view_idx, jnp.int32),
                                  jnp.asarray(time_ids, jnp.int32),
-                                 sh_degree, static, mask_bank is not None)
+                                 sh_degree, static, mask_bank is not None,
+                                 knn_state)
 
     @functools.partial(jax.jit, static_argnames=("self", "sh_degree", "static", "has_masks"))
     def _step(self, state: SplatTrainState, cams: CameraArrays,
               gt_images: jnp.ndarray, masks: jnp.ndarray | None,
-              sh_degree: int, static: bool, has_masks: bool):
-        return self._step_inner(state, cams, gt_images, masks, sh_degree, static, has_masks)
+              sh_degree: int, static: bool, has_masks: bool, knn_state=None):
+        return self._step_inner(state, cams, gt_images, masks, sh_degree,
+                                static, has_masks, knn_state)
 
     def _step_inner(self, state: SplatTrainState, cams: CameraArrays,
                     gt_images: jnp.ndarray, masks: jnp.ndarray | None,
-                    sh_degree: int, static: bool, has_masks: bool):
+                    sh_degree: int, static: bool, has_masks: bool,
+                    knn_state=None):
         o = self.cfg.opt
         cap = state.params.face_bary.shape[0]
 
@@ -185,6 +195,11 @@ class Trainer:
                 outs.vertices, self.mesh, o.lambda_deform_mag, o.lambda_rigid,
                 o.lambda_momentum, static,
             )
+            if knn_state is not None and not static:
+                loss = loss + knn_regularization(
+                    outs.means3d, outs.rotations, knn_state,
+                    o.lambda_isometric, o.lambda_spring, o.lambda_rigidity,
+                )
             aux = {
                 "psnr": jnp.mean(psnr(images, gt_images)),
                 "l1": ldict["l1"],
@@ -231,9 +246,42 @@ class Trainer:
 
     def step(self, state: SplatTrainState, cams: CameraArrays,
              gt_images: jnp.ndarray, masks: jnp.ndarray | None,
-             sh_degree: int, static: bool):
+             sh_degree: int, static: bool, knn_state=None):
         return self._step(state, cams, gt_images, masks, sh_degree, static,
-                          masks is not None)
+                          masks is not None, knn_state)
+
+    # ------------------------------------------------------------------ knn
+
+    @functools.partial(jax.jit, static_argnames=("self",))
+    def _knn_state(self, state: SplatTrainState):
+        from cloth_splatting_tpu.models.deform import simulate
+        from cloth_splatting_tpu.ops.knn import knn as knn_fn
+
+        o = self.cfg.opt
+        verts0 = simulate(state.sim_params, self.mesh_predictions,
+                          jnp.zeros((), jnp.float32))
+        means = G.gaussian_positions(state.params, state.gstate, self.mesh,
+                                     verts0)
+        alive = state.gstate.alive
+        cap = means.shape[0]
+        # park dead capacity slots far away, each at a distinct spot, so they
+        # are never neighbors of live gaussians (nor of each other's queries)
+        park = (~alive).astype(jnp.float32) * (
+            1e6 + jnp.arange(cap, dtype=jnp.float32) * 1e3)
+        pts = means.at[:, 0].add(park)
+        d2, idx = knn_fn(pts, k=o.k_nearest)
+        finite = jnp.isfinite(d2)
+        d2 = jnp.where(finite, d2, 0.0)
+        valid = alive[:, None] & alive[idx] & finite
+        d0 = jnp.sqrt(d2)
+        w = jnp.where(valid, jnp.exp(-o.lambda_w * d2), 0.0)
+        return KnnState(idx=idx.astype(jnp.int32), d0=d0, w=w, valid=valid)
+
+    def compute_knn_state(self, state: SplatTrainState) -> KnnState:
+        """kNN neighborhoods at the t=0 deformed state (reference
+        train_utils.py:113-119: o3d_knn over get_pos_t0, weights
+        exp(-lambda_w * d^2), refreshed every knn_update_iter)."""
+        return self._knn_state(state)
 
     # ------------------------------------------------------ density control
 

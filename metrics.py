@@ -27,11 +27,18 @@ def evaluate(model_paths, lpips_weights_path=None):
     from cloth_splatting_tpu.ops.image import psnr as psnr_fn
     from cloth_splatting_tpu.ops.ssim import ssim as ssim_fn
 
-    lpips_w = (lpips_jax.load_weights(lpips_weights_path)
-               if lpips_jax.available(lpips_weights_path) else None)
-    if lpips_w is None:
-        print("LPIPS weights not provided; reporting lpips=null "
-              "(see scripts/export_lpips_weights.py)")
+    if lpips_jax.available(lpips_weights_path):
+        lpips_w = lpips_jax.load_weights(lpips_weights_path)
+        lpips_kind = "pretrained"
+    else:
+        # deterministic fixture so the metric triple is always complete;
+        # values are reproducible regression numbers, NOT comparable to
+        # published LPIPS (see eval/lpips_jax.py docstring)
+        lpips_w = lpips_jax.fixture_weights()
+        lpips_kind = lpips_jax.FIXTURE_VERSION
+        print("LPIPS: no pretrained weights provided; using the "
+              f"deterministic {lpips_kind} weights "
+              "(see scripts/export_lpips_weights.py for real LPIPS-vgg)")
 
     for model_path in model_paths:
         print(f"Scene: {model_path}")
@@ -68,6 +75,7 @@ def evaluate(model_paths, lpips_weights_path=None):
                 "LPIPS": float(np.mean(lpipss)) if lpipss else None,
             }
             print(f"    SSIM: {res['SSIM']}  PSNR: {res['PSNR']}  LPIPS: {res['LPIPS']}")
+            res["lpips_weights"] = lpips_kind
             full[method] = res
             per_view[method] = {
                 "SSIM": dict(zip(names, ssims)),

@@ -75,17 +75,20 @@ def main() -> None:
         results["train"] = render_set(
             args.model_path, "train", iteration, cams, paths, params, state,
             mesh, sim_params, preds, args.white_background, args.sh_degree,
-            log_deform=args.log_deform, track_vertices=args.track_vertices)
+            log_deform=args.log_deform, track_vertices=args.track_vertices,
+            show_flow=args.show_flow)
     if not args.skip_test:
         cams, paths = split_cams(scene.test)
         results["test"] = render_set(
             args.model_path, "test", iteration, cams, paths, params, state,
-            mesh, sim_params, preds, args.white_background, args.sh_degree)
+            mesh, sim_params, preds, args.white_background, args.sh_degree,
+            log_deform=args.log_deform, track_vertices=args.track_vertices,
+            show_flow=args.show_flow)
     if not args.skip_video:
         results["video"] = render_set(
             args.model_path, "video", iteration, scene.video_cameras, None,
             params, state, mesh, sim_params, preds, args.white_background,
-            args.sh_degree)
+            args.sh_degree, show_flow=args.show_flow)
     for split, r in results.items():
         print(f"{split}: FPS {r['fps']:.2f} -> {r['out_dir']}")
 

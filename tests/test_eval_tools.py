@@ -175,3 +175,23 @@ class TestLPIPS:
         d_aa = float(lpips_jax.lpips(weights, a, a)[0])
         assert d_aa < 1e-6
         assert d_ab > d_aa
+
+
+class TestLpipsFixture:
+    def test_fixture_deterministic_and_sane(self):
+        import jax.numpy as jnp
+
+        from cloth_splatting_tpu.eval import lpips_jax
+
+        w1 = lpips_jax.fixture_weights()
+        w2 = lpips_jax.fixture_weights()
+        np.testing.assert_array_equal(w1["conv_0_0_w"], w2["conv_0_0_w"])
+        # identical images -> 0; distorted -> positive, monotone-ish
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 3, 64, 64)), jnp.float32)
+        d0 = float(lpips_jax.lpips(w1, img, img)[0])
+        noise = jnp.asarray(rng.normal(0, 1, img.shape), jnp.float32)
+        d_small = float(lpips_jax.lpips(w1, img, img + 0.05 * noise)[0])
+        d_big = float(lpips_jax.lpips(w1, img, img + 0.2 * noise)[0])
+        assert d0 < 1e-6
+        assert 0 < d_small < d_big

@@ -119,3 +119,37 @@ class TestTrainPipeline:
         assert os.path.exists(os.path.join(out, "point_cloud", "iteration_90", "mesh.hdf5"))
         assert os.path.exists(os.path.join(out, "meshnet", "model-90.npz"))
         assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+
+class TestRenderSetOutputs:
+    def test_render_set_writes_flow_overlays(self, tmp_path):
+        """render_set with show_flow produces occlusion-masked overlay PNGs
+        (reference render.py:226-286) plus the tracking export."""
+        import numpy as np
+
+        from cloth_splatting_tpu.data.synthetic import orbit_camera, target_gaussians
+        from cloth_splatting_tpu.eval.render_sets import render_set
+        from cloth_splatting_tpu.models import gaussians as G
+
+        mesh = grid_cloth_mesh(6, 6, size=1.2)
+        # opaque patterned field: flow overlays need a visible surface
+        params, state = target_gaussians(mesh, 1)
+        fov = 2 * np.arctan(0.4)
+        cams = [orbit_camera(v, 8, fov, 48, 48, float(v) / 7)
+                for v in range(4)]
+        preds = jnp.tile(jnp.asarray(mesh.pos)[None], (3, 1, 1))
+        res = render_set(str(tmp_path), "test", 10, cams, None, params,
+                         state, mesh, None, preds, True, sh_degree=1,
+                         log_deform=True, show_flow=True, k_cap=128)
+        out = res["out_dir"]
+        assert os.path.isdir(os.path.join(out, "flow"))
+        flow_pngs = sorted(os.listdir(os.path.join(out, "flow")))
+        assert len(flow_pngs) == 4
+        import imageio.v2 as imageio
+
+        overlay = imageio.imread(os.path.join(out, "flow", flow_pngs[-1]))
+        assert overlay.shape[:2] == (48, 48)
+        base = imageio.imread(os.path.join(out, "renders", "00003.png"))
+        # the overlay actually drew something on top of the render
+        assert (overlay != base).any()
+        assert os.path.exists(os.path.join(str(tmp_path), "all_trajs.npz"))
