@@ -141,6 +141,49 @@ def update_prediction(velocity, pred_acc_unnorm, position, edge_index,
     return velocity, edge_features, new_pos
 
 
+def edge_length_refine(velocity: jnp.ndarray, positions: jnp.ndarray,
+                       edge_index: jnp.ndarray, rest_lengths: jnp.ndarray,
+                       grasped: jnp.ndarray, n_steps: int = 10,
+                       lr: float = 1e-3,
+                       edge_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Edge-length-preserving inner optimization for real-world rollouts
+    (reference train_meshnet_sim.py:212-250): 10 Adam steps on the predicted
+    velocities minimizing sum((|edge after| - rest)^2).
+
+    The reference indexes the per-EDGE deviation vector with the grasped
+    PARTICLE index (`length_deviation[grasped_particle] *= 0`) — an indexing
+    bug that zeroes one arbitrary edge; here the intended semantics is
+    implemented: edges incident to the grasped particle are excluded.
+    """
+    free = ~((edge_index[0] == grasped) | (edge_index[1] == grasped))
+    if edge_mask is not None:
+        free = free & edge_mask
+
+    def loss_fn(vel):
+        p = positions + vel
+        d = p[edge_index[0]] - p[edge_index[1]]
+        lengths = jnp.sqrt(jnp.sum(d * d, axis=-1) + 1e-20)
+        dev = jnp.where(free, lengths - rest_lengths, 0.0)
+        return jnp.sum(dev ** 2)
+
+    # inline Adam (b1=0.9, b2=0.999, eps=1e-8 — torch.optim.Adam defaults)
+    def body(i, carry):
+        vel, m, v = carry
+        g = jax.grad(loss_fn)(vel)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g * g
+        t = i + 1.0
+        mhat = m / (1.0 - 0.9 ** t)
+        vhat = v / (1.0 - 0.999 ** t)
+        vel = vel - lr * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return (vel, m, v)
+
+    vel, _, _ = jax.lax.fori_loop(
+        0, n_steps, body,
+        (velocity, jnp.zeros_like(velocity), jnp.zeros_like(velocity)))
+    return vel
+
+
 def rollout(
     state: dict,
     positions0: jnp.ndarray,        # [V, 3]
@@ -152,13 +195,25 @@ def rollout(
     n_steps: int,
     edge_mask: jnp.ndarray | None = None,
     normalize: bool = True,
+    real_world: bool = False,
+    rest_lengths: jnp.ndarray | None = None,
+    refine_steps: int = 10,
+    refine_lr: float = 1e-3,
 ):
     """Autoregressive rollout (parity: train_meshnet_sim.py:92-266).
+
+    With ``real_world=True`` each predicted velocity is refined by the
+    edge-length-preserving inner optimization before integration (reference
+    :212-250); ``rest_lengths`` defaults to the t=0 edge lengths.
 
     Returns (positions [S+1, V, 3], velocities [S, V, 3]).
     """
     hist = init_velocity.shape[0]
     v0 = jnp.concatenate([init_velocity[i] for i in range(hist)], axis=-1)  # [V, 3h]
+
+    if real_world and rest_lengths is None:
+        d0 = positions0[edge_index[0]] - positions0[edge_index[1]]
+        rest_lengths = jnp.sqrt(jnp.sum(d0 * d0, axis=-1) + 1e-20)
 
     def step(carry, action):
         pos, vel_hist = carry
@@ -172,6 +227,11 @@ def rollout(
 
         next_vel = predict_velocity(state, vel_in, node_type, edge_index,
                                     edge_feats, edge_mask, normalize)
+        if real_world:
+            next_vel = edge_length_refine(next_vel, pos, edge_index,
+                                          rest_lengths, grasped,
+                                          n_steps=refine_steps, lr=refine_lr,
+                                          edge_mask=edge_mask)
         next_vel = next_vel.at[grasped].set(action)
 
         new_pos = pos + next_vel
