@@ -117,31 +117,41 @@ def _project_constraints(p: jnp.ndarray, cons: ClothConstraints,
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def cloth_step(state: ClothState, cons: ClothConstraints,
-               grasp_idx: jnp.ndarray, grasp_target: jnp.ndarray,
-               grasp_active: jnp.ndarray, params: ClothParams = ClothParams()
-               ) -> ClothState:
-    """One control step (= params.substeps PBD substeps).
+def cloth_step_multi(state: ClothState, cons: ClothConstraints,
+                     grasp_idx: jnp.ndarray, grasp_target: jnp.ndarray,
+                     grasp_active: jnp.ndarray,
+                     params: ClothParams = ClothParams()) -> ClothState:
+    """One control step (= params.substeps PBD substeps) with P kinematic
+    grasp handles (the multi-picker case of the reference's Picker tool,
+    manipulation/action_space/action_space.py:142-208).
 
     Args:
-        grasp_idx: scalar int particle index.
-        grasp_target: [3] world position the gripper moves to (end of step).
-        grasp_active: scalar bool.
+        grasp_idx: [P] int particle indices (duplicates allowed; last wins).
+        grasp_target: [P, 3] world positions each handle moves to (end of step).
+        grasp_active: [P] bool.
     """
     n = state.pos.shape[0]
-    pin = (jax.nn.one_hot(grasp_idx, n) * grasp_active).astype(bool)
+    grasp_idx = jnp.atleast_1d(grasp_idx)
+    grasp_target = jnp.reshape(grasp_target, (-1, 3))
+    grasp_active = jnp.atleast_1d(grasp_active)
+    onehot = jax.nn.one_hot(grasp_idx, n) * grasp_active[:, None]   # [P, N]
+    pin = onehot.sum(axis=0) > 0
     sub_dt = params.dt
-    start = state.pos[grasp_idx]
+    start = state.pos[grasp_idx]                                    # [P, 3]
+
+    def pin_to(p, target_i):
+        upd = jnp.where(grasp_active[:, None], target_i, p[grasp_idx])
+        return p.at[grasp_idx].set(upd)
 
     def substep(i, st):
         pos, vel = st
         frac = (i + 1.0) / params.substeps
-        target_i = start + (grasp_target - start) * frac
+        target_i = start + (grasp_target - start) * frac            # [P, 3]
         vel = (vel + jnp.asarray([0.0, params.gravity, 0.0]) * sub_dt) * params.damping
         p = pos + vel * sub_dt
-        p = jnp.where(pin[:, None], target_i[None, :], p)
+        p = pin_to(p, target_i)
         p = _project_constraints(p, cons, pin, params.iterations)
-        p = jnp.where(pin[:, None], target_i[None, :], p)
+        p = pin_to(p, target_i)
         # ground collision with friction
         below = p[:, 1] < params.ground_y
         p = p.at[:, 1].set(jnp.where(below, params.ground_y, p[:, 1]))
@@ -155,6 +165,19 @@ def cloth_step(state: ClothState, cons: ClothConstraints,
 
     pos, vel = jax.lax.fori_loop(0, params.substeps, substep, (state.pos, state.vel))
     return ClothState(pos=pos, vel=vel)
+
+
+def cloth_step(state: ClothState, cons: ClothConstraints,
+               grasp_idx: jnp.ndarray, grasp_target: jnp.ndarray,
+               grasp_active: jnp.ndarray, params: ClothParams = ClothParams()
+               ) -> ClothState:
+    """Single-handle convenience wrapper over :func:`cloth_step_multi`."""
+    return cloth_step_multi(
+        state, cons,
+        jnp.reshape(grasp_idx, (1,)).astype(jnp.int32),
+        jnp.reshape(grasp_target, (1, 3)),
+        jnp.reshape(grasp_active, (1,)),
+        params)
 
 
 def settle(state: ClothState, cons: ClothConstraints, n_steps: int = 50,

@@ -28,12 +28,16 @@ def bezier_actions(pick: np.ndarray, place: np.ndarray, height: float,
     return np.diff(path, axis=0)
 
 
-def circular_actions(pick: np.ndarray, place: np.ndarray, n_steps: int) -> np.ndarray:
-    """Half-circle arc in the vertical plane through pick->place."""
+def circular_actions(pick: np.ndarray, place: np.ndarray, n_steps: int,
+                     max_angle: float = np.pi) -> np.ndarray:
+    """Circular-arc fold in the vertical plane through pick->place, sweeping
+    ``max_angle`` of the semicircle (max_angle=pi lands exactly on ``place``;
+    the reference's circular_fold_particle uses 0.9*pi so the sim is not
+    forced to flatten the fold, manipulation/deform_mesh.py:353)."""
     chord = place - pick
     radius = np.linalg.norm(chord) / 2.0
     mid = 0.5 * (pick + place)
-    ts = np.linspace(0.0, np.pi, n_steps + 1)
+    ts = np.linspace(0.0, max_angle, n_steps + 1)
     up = np.asarray([0.0, 1.0, 0.0])
     axis = chord / max(np.linalg.norm(chord), 1e-9)
     path = np.stack([

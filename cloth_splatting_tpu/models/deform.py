@@ -61,6 +61,36 @@ def init_residual_simulator(rng: np.random.Generator, n_nodes: int) -> ResidualS
     return ResidualSimulatorParams(w_in, b_in, w_h, b_h, w_out, b_out)
 
 
+class EmbeddingSimulatorParams(NamedTuple):
+    """Per-timestep residual table (the reference's
+    ResidualMeshSimulatorEmbedding variant, meshnet_network.py:382-411):
+    instead of an MLP over sinusoidal time features, each discrete time id
+    owns an independent [V*3] embedding row added to the GNN prediction."""
+    embedding: jnp.ndarray  # [T, V*3]
+
+
+def init_embedding_simulator(rng: np.random.Generator, n_times: int,
+                             n_nodes: int) -> EmbeddingSimulatorParams:
+    """N(0, 1e-3) init (parity: meshnet_network.py:397)."""
+    table = rng.normal(0.0, 1e-3, size=(n_times, n_nodes * 3)).astype(np.float32)
+    return EmbeddingSimulatorParams(embedding=jnp.asarray(table))
+
+
+def simulate_embedding(params: EmbeddingSimulatorParams,
+                       mesh_predictions: jnp.ndarray,
+                       t: jnp.ndarray) -> jnp.ndarray:
+    """Deformed vertices at normalized time t: mesh_predictions[round(t/dt)]
+    + embedding[round(t/dt)] (parity: meshnet_network.py:399-407)."""
+    n_times = mesh_predictions.shape[0]
+    dt = 1.0 if n_times == 1 else 1.0 / (n_times - 1)
+    time_id = jnp.clip(jnp.round(t / dt).astype(jnp.int32), 0, n_times - 1)
+    residual = jax.lax.dynamic_index_in_dim(
+        params.embedding, time_id, axis=0, keepdims=False).reshape(-1, 3)
+    base = jax.lax.dynamic_index_in_dim(mesh_predictions, time_id, axis=0,
+                                        keepdims=False)
+    return base + residual
+
+
 def simulate(params: ResidualSimulatorParams, mesh_predictions: jnp.ndarray,
              t: jnp.ndarray) -> jnp.ndarray:
     """Deformed vertices at normalized time t in [0, 1].

@@ -243,3 +243,35 @@ class TestTrainingAndRollout:
         np.testing.assert_allclose(
             np.asarray(restored["gnn"]["decoder"]["layers"][0]["w"]),
             np.asarray(state["gnn"]["decoder"]["layers"][0]["w"]))
+
+
+class TestEmbeddingSimulator:
+    """ResidualMeshSimulatorEmbedding parity (meshnet_network.py:382-411)."""
+
+    def test_embedding_residual_added_at_time_id(self):
+        import jax.numpy as jnp
+        from cloth_splatting_tpu.models.deform import (
+            init_embedding_simulator, simulate_embedding)
+
+        rng = np.random.default_rng(0)
+        T, V = 4, 7
+        preds = jnp.asarray(rng.normal(size=(T, V, 3)), jnp.float32)
+        params = init_embedding_simulator(rng, T, V)
+        for tid in range(T):
+            t = tid / (T - 1)
+            out = simulate_embedding(params, preds, jnp.asarray(t))
+            expected = preds[tid] + params.embedding[tid].reshape(V, 3)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                       atol=1e-6)
+
+    def test_single_time_dt_guard(self):
+        import jax.numpy as jnp
+        from cloth_splatting_tpu.models.deform import (
+            init_embedding_simulator, simulate_embedding)
+
+        rng = np.random.default_rng(1)
+        preds = jnp.zeros((1, 5, 3), jnp.float32)
+        params = init_embedding_simulator(rng, 1, 5)
+        out = simulate_embedding(params, preds, jnp.asarray(0.0))
+        assert out.shape == (5, 3)
+        assert np.all(np.isfinite(np.asarray(out)))
