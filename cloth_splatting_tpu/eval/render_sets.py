@@ -105,6 +105,7 @@ def render_set(
     log_deform: bool = False,
     track_vertices: bool = False,
     show_flow: bool = False,
+    flow_skip: int | None = None,
     k_cap: int = 512,
 ) -> dict:
     """Render one camera list; returns {'fps': ..., 'out_dir': ...}."""
@@ -173,8 +174,12 @@ def render_set(
         flow_dir = os.path.join(out_dir, "flow")
         os.makedirs(flow_dir, exist_ok=True)
         alive_idx = np.flatnonzero(np.asarray(state.alive))
-        m = min(128, len(alive_idx))
-        sel = alive_idx[np.linspace(0, len(alive_idx) - 1, m).astype(int)]
+        if flow_skip:
+            # track every flow_skip-th Gaussian (reference --flow_skip)
+            sel = alive_idx[::flow_skip]
+        else:
+            m = min(128, len(alive_idx))
+            sel = alive_idx[np.linspace(0, len(alive_idx) - 1, m).astype(int)]
         track = [d["projections"][sel] for d in deform_logs]
         for t, (img, cam, d) in enumerate(zip(frames, cameras, deform_logs)):
             wv = np.asarray(camera_arrays(cam).world_view)  # row-vector W2C

@@ -28,6 +28,8 @@ def main() -> None:
     parser.add_argument("--log_deform", action="store_true")
     parser.add_argument("--track_vertices", action="store_true")
     parser.add_argument("--show_flow", action="store_true")
+    parser.add_argument("--flow_skip", type=int, default=None,
+                        help="track every N-th Gaussian in --show_flow overlays")
     parser.add_argument("--view_skip", type=int, default=1)
     parser.add_argument("--time_skip", type=int, default=1)
     parser.add_argument("--single_cam_video", action="store_true")
@@ -76,19 +78,19 @@ def main() -> None:
             args.model_path, "train", iteration, cams, paths, params, state,
             mesh, sim_params, preds, args.white_background, args.sh_degree,
             log_deform=args.log_deform, track_vertices=args.track_vertices,
-            show_flow=args.show_flow)
+            show_flow=args.show_flow, flow_skip=args.flow_skip)
     if not args.skip_test:
         cams, paths = split_cams(scene.test)
         results["test"] = render_set(
             args.model_path, "test", iteration, cams, paths, params, state,
             mesh, sim_params, preds, args.white_background, args.sh_degree,
             log_deform=args.log_deform, track_vertices=args.track_vertices,
-            show_flow=args.show_flow)
+            show_flow=args.show_flow, flow_skip=args.flow_skip)
     if not args.skip_video:
         results["video"] = render_set(
             args.model_path, "video", iteration, scene.video_cameras, None,
             params, state, mesh, sim_params, preds, args.white_background,
-            args.sh_degree, show_flow=args.show_flow)
+            args.sh_degree, show_flow=args.show_flow, flow_skip=args.flow_skip)
     for split, r in results.items():
         print(f"{split}: FPS {r['fps']:.2f} -> {r['out_dir']}")
 

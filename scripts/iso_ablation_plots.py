@@ -16,6 +16,9 @@ def main() -> None:
     p.add_argument("--root", type=str, required=True,
                    help="root with <scene>_<lambda>/results.json + *_aligned.npz")
     p.add_argument("--out", type=str, default="iso_ablation.png")
+    p.add_argument("--with_reference", action="store_true",
+                   help="overlay the published CUDA-reference points "
+                        "(scripts/iso_manual_points.py)")
     args = p.parse_args()
 
     import matplotlib
@@ -53,6 +56,14 @@ def main() -> None:
         ax1.plot(lams, [r["psnr"] for r in rs], marker="o", label=scene)
         if any(r["mte"] is not None for r in rs):
             ax2.plot(lams, [r["mte"] for r in rs], marker="o", label=scene)
+    if args.with_reference:
+        import iso_manual_points as ref
+        for metric, ax in (("psnr", ax1), ("mte", ax2)):
+            for scene, pts in ref.reference_points(metric).items():
+                lams = sorted(pts)
+                ax.plot(lams, [pts[l] for l in lams], marker="x",
+                        linestyle="--", alpha=0.5, label=f"{scene} (ref)")
+
     for ax, ylabel in ((ax1, "PSNR [dB]"), (ax2, "MTE")):
         ax.set_xscale("log")
         ax.set_xlabel("lambda_rigid")
