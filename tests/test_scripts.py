@@ -103,3 +103,40 @@ class TestPopulateFinalResults:
                 "--output", str(tmp_path / "output"))
         assert r.returncode == 0, r.stderr
         assert os.path.exists(res_scene / "ours" / "traj.npz")
+
+
+class TestGenVizTraj:
+    def test_pingpong_times_and_densify(self, tmp_path):
+        frames = []
+        for v in range(6):
+            m = np.eye(4); m[0, 3] = v * 0.1
+            frames.append({"file_path": f"./test/r_{v}_0", "time": 0.0,
+                           "transform_matrix": m.tolist()})
+        data = {"camera_angle_x": 0.7, "frames": frames}
+        with open(tmp_path / "transforms_test.json", "w") as f:
+            json.dump(data, f)
+        r = run("gen_viz_traj.py", "--folder", str(tmp_path), "--densify")
+        assert r.returncode == 0, r.stderr
+        with open(tmp_path / "video.json") as f:
+            traj = json.load(f)
+        times = [fr["time"] for fr in traj["frames"]]
+        assert len(times) == 11            # 6 poses densified
+        assert max(times) == 1.0 and min(times) == 0.0
+        # forward then backward sweep
+        assert times[0] == 0.0 and 1.0 in times
+
+
+class TestSelectImage:
+    def test_stride_and_pingpong(self, tmp_path):
+        import imageio.v2 as imageio
+        src = tmp_path / "renders"
+        os.makedirs(src)
+        for i in range(10):
+            imageio.imwrite(src / f"{i:05d}.png",
+                            np.full((4, 4, 3), i * 20, np.uint8))
+        out = tmp_path / "sel"
+        r = run("select_image.py", "--dirs", str(src), "--stride", "3",
+                "--pingpong", "--out", str(out))
+        assert r.returncode == 0, r.stderr
+        files = sorted(os.listdir(out))
+        assert len(files) == 4 + 3          # [0,3,6,9] + [6,3,0]
