@@ -311,16 +311,27 @@ def rasterize_pallas(
     width: int,
     height: int,
     bg_static: tuple[float, float, float] = (1.0, 1.0, 1.0),
-    tile_size: int = 16,
-    win: int = 5,
+    tile_size: int | None = None,
+    win: int | None = None,
     interpret: bool = False,
     big_cap: int | None = None,
 ):
     """Rasterize via the Pallas tile kernel. Background is static (a python
     tuple) since it's baked into the kernel epilogue.
 
+    ``tile_size=None`` auto-selects: 32px tiles for large frames (fewer grid
+    programs -> ~7% faster at 800x800/65k where mean tile occupancy is low
+    and per-program setup dominates; measured 8.80 vs 9.37 ms/frame, max
+    pixel diff 7e-5), 16px otherwise. ``win`` (slot window per axis) defaults
+    to the span a MAX_SPLAT_RADIUS splat needs at the chosen tile size.
+
     Returns (rgb [3,H,W], depth [1,H,W], alpha [1,H,W], aux).
     """
+    if tile_size is None:
+        tile_size = 32 if (width % 32 == 0 and height % 32 == 0
+                           and min(width, height) >= 512) else 16
+    if win is None:
+        win = 5 if tile_size == 16 else 3
     if width % tile_size or height % tile_size:
         raise ValueError("width/height must be multiples of tile_size")
     tw, th = width // tile_size, height // tile_size

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Realistic-scale parity benchmark: the full reference pipeline (train ->
+render -> NVS metrics -> tracking MTE) on a high-fidelity synthetic scene at
+the reference's conventions (800x800 renders, noisy GNN mesh predictions,
+view/time grid, gt.npz tracking targets — dataset_readers.py:252 resolution,
+run_scripts/run_all.sh orchestration).
+
+The reference's own baseline table (BASELINE.md) reports 32-43 dB PSNR and
+3-90 mm MTE on its final_scenes; this script produces the same metric triple
+on a scene whose ground truth is known exactly, so PSNR/MTE regressions in
+the TPU pipeline are measurable at realistic resolution and Gaussian counts
+(VERDICT weak #8). Prints ONE json line.
+
+Usage (TPU, ~10-20 min):  python scripts/parity_bench.py --iterations 2000
+Quick smoke (CPU):        python scripts/parity_bench.py --image_size 96 \
+                              --mesh_res 8 --iterations 60 --static 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(script, *args, env=None):
+    cmd = [sys.executable, os.path.join(REPO, script), *map(str, args)]
+    r = subprocess.run(cmd, cwd=REPO, env=env or os.environ.copy(),
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        sys.stderr.write(r.stdout[-2000:] + r.stderr[-4000:])
+        raise RuntimeError(f"{script} failed rc={r.returncode}")
+    return r.stdout
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--workdir", type=str, default="/tmp/parity_bench")
+    p.add_argument("--image_size", type=int, default=800)
+    p.add_argument("--mesh_res", type=int, default=24,
+                   help="24 -> ~2.1k Gaussians init, grows under densify")
+    p.add_argument("--n_views", type=int, default=8)
+    p.add_argument("--n_times", type=int, default=8)
+    p.add_argument("--prediction_noise", type=float, default=0.01,
+                   help="mesh-prediction corruption the residual MLP must fix")
+    p.add_argument("--iterations", type=int, default=2000)
+    p.add_argument("--static", type=int, default=500)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    scene = os.path.join(args.workdir, "scene")
+    exp = os.path.join(args.workdir, "exp")
+    os.makedirs(args.workdir, exist_ok=True)
+
+    sys.path.insert(0, REPO)
+    from cloth_splatting_tpu.data.synthetic import generate_synthetic_scene
+
+    generate_synthetic_scene(
+        scene, n_views=args.n_views, n_times=args.n_times,
+        image_size=args.image_size, mesh_res=args.mesh_res,
+        prediction_noise=args.prediction_noise, seed=args.seed)
+
+    run("train.py", "-s", scene, "-m", exp,
+        "--iterations", args.iterations,
+        "--static_reconst_iteration", args.static,
+        "--test_iterations", args.iterations,
+        "--save_iterations", args.iterations, "--quiet")
+    run("render.py", "-m", exp, "--skip_video", "--log_deform")
+    run("metrics.py", "-m", exp)
+    mte_out = run(os.path.join("scripts", "align_eval_trajs.py"),
+                  "--trajs", os.path.join(exp, "all_trajs.npz"),
+                  "--gt", os.path.join(scene, "gt.npz"))
+
+    results_path = sorted(glob.glob(os.path.join(exp, "results.json")))
+    with open(results_path[0]) as f:
+        results = json.load(f)
+    method = sorted(results)[-1]
+    psnr = results[method].get("PSNR")
+    ssim = results[method].get("SSIM")
+    lpips = results[method].get("LPIPS")
+    mte_mm = float(mte_out.split("MTE mean:")[1].split("mm")[0])
+
+    print(json.dumps({
+        "metric": "parity_psnr_db",
+        "value": round(psnr, 3) if psnr else None,
+        "unit": "dB",
+        "ssim": round(ssim, 4) if ssim else None,
+        "lpips": round(lpips, 4) if lpips is not None else None,
+        "mte_mm": round(mte_mm, 3),
+        "image_size": args.image_size,
+        "iterations": args.iterations,
+        "prediction_noise": args.prediction_noise,
+    }))
+
+
+if __name__ == "__main__":
+    main()
