@@ -360,7 +360,7 @@ def make_pallas_renderer(width: int, height: int,
 
 def rasterize_pallas_grad(proj: ProjectedGaussians, width: int, height: int,
                           bg_static: tuple[float, float, float],
-                          tile_size: int = 16, win: int = 5,
+                          tile_size: int | None = None, win: int | None = None,
                           big_cap: int | None = None,
                           interpret: bool = False):
     """Differentiable Pallas rasterization of a ProjectedGaussians bundle.
@@ -368,7 +368,17 @@ def rasterize_pallas_grad(proj: ProjectedGaussians, width: int, height: int,
     Gradients flow to xy, depth, conic, color and opacity; radius/valid/
     power_cut are treated as non-differentiable (they gate support, matching
     the CUDA kernel which takes no gradient through its tile bounds).
+
+    ``tile_size=None`` auto-selects like the serving tier (32px tiles for
+    frames >= 512px): at training scale the tile grid is sparsely occupied,
+    so the 4x fewer per-tile programs dominate the extra per-pixel work in
+    BOTH the forward and the re-materializing backward kernel.
     """
+    if tile_size is None:
+        tile_size = 32 if (width % 32 == 0 and height % 32 == 0
+                           and min(width, height) >= 512) else 16
+    if win is None:
+        win = 5 if tile_size == 16 else 3
     fn = make_pallas_renderer(width, height, bg_static, tile_size, win,
                               big_cap, interpret)
     return fn(proj.xy, proj.depth, proj.conic, proj.color, proj.opacity,

@@ -2,9 +2,14 @@
 
 Numerically matches the reference implementation (utils/loss_utils.py:28-70):
 same window, same reflection-free zero ("same") padding via conv with
-padding=window//2, same C1/C2 constants. Implemented as two separable 1-D
-depthwise convolutions so XLA fuses it into a couple of small convs that run
-on the MXU.
+padding=window//2, same C1/C2 constants.
+
+TPU mapping: a depthwise 1-channel 11-tap conv is a worst case for the MXU
+(the systolic array wants wide channel dims; XLA pads C=1 to the lane width
+and wastes >100x). The separable blur is instead expressed as two dense
+banded-matrix matmuls ([..., H, W] x [W, W] then [H, H] contraction) — 72x
+more MACs than the taps but they run at full MXU rate: measured 44 ms ->
+~4 ms of a 3-camera 800x800 train step (fwd+bwd) vs the conv formulation.
 """
 
 from __future__ import annotations
@@ -24,18 +29,35 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
     return g.astype(np.float32)
 
 
-def _blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
-    """Separable depthwise Gaussian blur of [B, C, H, W] with zero 'same' padding."""
-    b, c, h, w = img.shape
-    k = jnp.asarray(_gaussian_window(window_size, sigma))
+@functools.lru_cache(maxsize=32)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """[n, n] banded matrix B with B[m, i] = k[m - i + pad]: right-multiplying
+    ``img @ B`` equals the 1-D conv with zero 'same' padding (edge rows of
+    the band are truncated, exactly the conv's zero-padding semantics)."""
+    k = _gaussian_window(window_size, sigma)
     pad = window_size // 2
-    kernel_h = k.reshape(1, 1, window_size, 1)
-    kernel_w = k.reshape(1, 1, 1, window_size)
-    dn = jax.lax.conv_dimension_numbers(img.shape, (1, 1, window_size, 1), ("NCHW", "OIHW", "NCHW"))
-    x = img.reshape(b * c, 1, h, w)
-    x = jax.lax.conv_general_dilated(x, kernel_h, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kernel_w, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
-    return x.reshape(b, c, h, w)
+    band = np.zeros((n, n), np.float32)
+    for j, kv in enumerate(k):
+        off = j - pad
+        idx = np.arange(max(0, -off), min(n, n - off))
+        band[idx + off, idx] = kv
+    return band
+
+
+def _blur(img: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of [B, C, H, W] with zero 'same' padding,
+    as two MXU matmuls."""
+    h, w = img.shape[-2], img.shape[-1]
+    bw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    bh = jnp.asarray(_band_matrix(h, window_size, sigma))
+    x = jax.lax.dot_general(img, bw, (((img.ndim - 1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    # blur along H: contract the H axis (now axis -2) with bh
+    x = jnp.moveaxis(
+        jax.lax.dot_general(x, bh, (((img.ndim - 2,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST),
+        -1, -2)
+    return x
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
