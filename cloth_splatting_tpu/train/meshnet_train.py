@@ -174,6 +174,8 @@ def train_meshnet(
     seed: int = 0,
     log_every: int = 1,
     steps_per_epoch: int | None = None,
+    viz_dir: str | None = None,
+    viz_every: int = 50,
 ) -> tuple[dict, list[float]]:
     """Epoch loop with the 1/3-2/3 future-length curriculum."""
     rng = np.random.default_rng(seed)
@@ -202,8 +204,26 @@ def train_meshnet(
         if epoch % log_every == 0:
             msg = f"[meshnet epoch {epoch}/{n_epochs}] future={future} loss={losses[-1]:.6f}"
             if val_ds is not None and len(val_ds.trajs) > 0:
-                val = trainer.validate_rollout(state, val_ds.rollout_item(0))
+                item = val_ds.rollout_item(0)
+                val = trainer.validate_rollout(state, item)
                 msg += f" val_rollout_mse={val['mean_mse']:.6f}"
+                if viz_dir and epoch % viz_every == 0:
+                    # rendered prediction-vs-GT rollout frames + GIF, the
+                    # reference's wandb validation assets
+                    # (train_meshnet_sim.py:534-549) written to disk
+                    from cloth_splatting_tpu.eval.mesh_viz import (
+                        create_gif,
+                        rollout_frames,
+                    )
+
+                    frame_dir = os.path.join(viz_dir, f"epoch_{epoch:05d}")
+                    paths = rollout_frames(val["ground_truth"],
+                                           val["predicted_positions"],
+                                           item["edge_index"], frame_dir)
+                    if paths:
+                        create_gif(paths, os.path.join(
+                            frame_dir, "rollout.gif"))
+                        msg += f" viz={frame_dir}"
             print(msg)
 
         if model_dir and epoch % save_every == 0:

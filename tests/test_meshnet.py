@@ -275,3 +275,32 @@ class TestEmbeddingSimulator:
         out = simulate_embedding(params, preds, jnp.asarray(0.0))
         assert out.shape == (5, 3)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestMeshViz:
+    """Mesh visualization assets (reference meshnet/viz.py parity)."""
+
+    def test_rollout_frames_and_gif(self, tmp_path):
+        from cloth_splatting_tpu.eval.mesh_viz import (
+            create_gif,
+            plot_mesh,
+            plot_mesh_predictions,
+            rollout_frames,
+        )
+
+        rng = np.random.default_rng(0)
+        pts = rng.normal(0, 0.1, size=(16, 3)).astype(np.float32)
+        edges = np.stack([np.arange(15), np.arange(1, 16)])
+        img = plot_mesh(pts, edges)
+        assert img.ndim == 3 and img.shape[2] == 3
+
+        gt = np.stack([pts + 0.01 * t for t in range(3)])
+        pred = gt + rng.normal(0, 0.005, gt.shape).astype(np.float32)
+        img2 = plot_mesh_predictions(gt[0], pred[0], edges)
+        assert img2.shape == img.shape
+
+        paths = rollout_frames(gt, pred, edges, str(tmp_path / "frames"))
+        assert len(paths) == 3
+        gif = create_gif(paths, str(tmp_path / "rollout.gif"))
+        import os as _os
+        assert _os.path.getsize(gif) > 0

@@ -197,3 +197,60 @@ class TestShardedMeshnetStep:
         flat_new = jax.tree_util.tree_leaves(new_state["gnn"])
         for a, b in zip(flat_ref, flat_new):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestSceneParallel:
+    """Scene-level DP (SURVEY section 2.3 axis d): S independent scenes, one
+    per device, zero collectives; must match per-scene sequential steps."""
+
+    def test_matches_sequential(self):
+        from cloth_splatting_tpu.parallel.scenes import (
+            make_scene_mesh,
+            make_scene_parallel_step,
+            shard_scenes,
+            stack_scene_states,
+            unstack_scene_states,
+        )
+
+        n_scenes = 4
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        trainer = Trainer(cfg, mesh, preds, cam.width, cam.height,
+                          cam.tanfovx, cam.tanfovy, spatial_lr_scale=2.0)
+        states = []
+        gts = []
+        cam_b = _cam_batch(cam, 3)
+        for s in range(n_scenes):
+            rng = np.random.default_rng(100 + s)
+            p_s, g_s = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2,
+                                        capacity=512)
+            sim_s = init_residual_simulator(rng, int(mesh.pos.shape[0]))
+            states.append(trainer.init_state(rng, p_s, g_s, sim_s))
+            gts.append(jnp.full((3, 3, cam.height, cam.width),
+                                0.2 + 0.1 * s, jnp.float32))
+
+        # sequential reference
+        seq = [trainer._step_inner(st, cam_b, gt, None, 1, False, False)
+               for st, gt in zip(states, gts)]
+
+        smesh = make_scene_mesh(n_scenes)
+        stacked = shard_scenes(stack_scene_states(states), smesh)
+        cams_stacked = shard_scenes(
+            jax.tree.map(lambda x: jnp.stack([x] * n_scenes), cam_b), smesh)
+        gts_stacked = shard_scenes(jnp.stack(gts), smesh)
+
+        step = make_scene_parallel_step(trainer, smesh, sh_degree=1,
+                                        static=False)
+        new_states, metrics = step(stacked, cams_stacked, gts_stacked)
+
+        losses = np.asarray(metrics.loss)
+        assert losses.shape[0] == n_scenes
+        for s in range(n_scenes):
+            np.testing.assert_allclose(losses[s], float(seq[s][1].loss),
+                                       rtol=1e-4)
+        # scenes are independent: different gts -> different losses
+        assert len(np.unique(losses.round(6))) > 1
+        # states advanced and can be unstacked per scene
+        per_scene = unstack_scene_states(new_states, n_scenes)
+        for s in range(n_scenes):
+            np.testing.assert_allclose(
+                np.asarray(per_scene[s].step), np.asarray(seq[s][0].step))

@@ -44,6 +44,10 @@ def build_parser():
     p.add_argument("--delaunay", type=int, default=1)
     p.add_argument("--subsample", type=int, default=1)
     p.add_argument("--num_samples", type=int, default=200)
+    p.add_argument("--viz_dir", type=str, default=None,
+                   help="write prediction-vs-GT rollout frames + GIF at "
+                        "validation epochs (the reference's wandb assets)")
+    p.add_argument("--viz_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_epoch", type=int, default=None)
     return p
@@ -96,6 +100,7 @@ def main() -> None:
             base_future=args.future_sequence_length,
             save_every=args.nsave_steps, model_dir=model_dir, seed=args.seed,
             steps_per_epoch=args.steps_per_epoch,
+            viz_dir=args.viz_dir, viz_every=args.viz_every,
         )
         print(f"final loss: {losses[-1]:.6f}; checkpoints at {model_dir}")
     else:
