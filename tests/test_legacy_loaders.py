@@ -176,3 +176,27 @@ class TestHypernerf:
 
 def test_registry_names_match_reference():
     assert set(scene_load_callbacks) == {"Colmap", "Blender", "dynerf", "nerfies"}
+
+
+@pytest.mark.slow
+class TestFitLegacyCLI:
+    def test_blender_fit_end_to_end(self, tmp_path):
+        import subprocess
+        import sys
+
+        from cloth_splatting_tpu.data.synthetic import generate_synthetic_scene
+        scene = str(tmp_path / "scene")
+        out = str(tmp_path / "out")
+        generate_synthetic_scene(scene, n_views=4, n_times=2, image_size=48)
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "fit_legacy.py"),
+             "-s", scene, "-m", out, "--type", "Blender", "-w",
+             "--iterations", "30", "--sh_degree", "1", "--k_cap", "64"],
+            capture_output=True, text=True, timeout=500,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(os.path.join(out, "point_cloud.ply"))
+        with open(os.path.join(out, "results.json")) as f:
+            res = json.load(f)
+        assert res["ours_static"]["PSNR"] > 5.0
