@@ -128,10 +128,17 @@ def read_colmap_images_binary(path: str) -> dict[int, dict]:
 
 
 def read_colmap_images_text(path: str) -> dict[int, dict]:
+    # meta/track line pairs; a track line may be BLANK (an image with zero
+    # observed 2D points, which COLMAP legitimately writes), so blanks must
+    # stay in the stream to keep the pairing parity.
     images = {}
     with open(path) as f:
-        lines = [ln for ln in f if not ln.startswith("#") and ln.strip()]
+        lines = [ln.rstrip("\n") for ln in f if not ln.startswith("#")]
+    while lines and not lines[0].strip():
+        lines.pop(0)
     for meta in lines[::2]:   # every other line is the 2D-point track
+        if not meta.strip():
+            continue
         parts = meta.split()
         images[int(parts[0])] = {
             "qvec": np.array([float(x) for x in parts[1:5]]),

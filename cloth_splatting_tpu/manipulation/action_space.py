@@ -356,8 +356,11 @@ class PickerQPG(PickerPickPlace):
 
     def step(self, action: np.ndarray) -> int:
         u, v = action[:2]
-        u = (u + 1.0) * 0.5 * self.image_size[0]
-        v = (v + 1.0) * 0.5 * self.image_size[1]
+        # u is the x-pixel coordinate -> scale by width (image_size is
+        # (h, w)); the reference scales u by image_size[0], which only
+        # coincides for its square cameras
+        u = (u + 1.0) * 0.5 * self.image_size[1]
+        v = (v + 1.0) * 0.5 * self.image_size[0]
         x, y, z = self._get_world_coor_from_image(u, v)
         y += 0.01
         dx, dy, dz = action[2:]
@@ -378,8 +381,8 @@ class PickerQPG(PickerPickPlace):
 
     def get_model_action(self, action: np.ndarray, curr_pos: np.ndarray):
         u, v = action[:2]
-        u = (u + 1.0) * 0.5 * self.image_size[0]
-        v = (v + 1.0) * 0.5 * self.image_size[1]
+        u = (u + 1.0) * 0.5 * self.image_size[1]
+        v = (v + 1.0) * 0.5 * self.image_size[0]
         x, y, z = self._get_world_coor_from_image(u, v)
         y += 0.01
         dx, dy, dz = action[2:]

@@ -138,7 +138,7 @@ def render_point_splat(positions: np.ndarray, cam: dict) -> tuple[np.ndarray, np
     v = (K[1, 1] * p_cam[:, 1] / np.maximum(z, 1e-6) + K[1, 2]).astype(int)
     inside = valid & (u >= 0) & (u < w) & (v >= 0) & (v < h)
     depth = np.full((h, w), np.inf, np.float32)
-    order = np.argsort(-z)  # far first so near overwrites
+    # far first so near overwrites
     for i in np.flatnonzero(inside)[np.argsort(-z[inside])]:
         depth[v[i], u[i]] = z[i]
     finite = np.isfinite(depth)
@@ -222,25 +222,35 @@ def deform_mesh(config: DeformationConfig, undeformed, out_dir: str,
     for d in (mesh_dir, cam_dir, img_dir):
         os.makedirs(d, exist_ok=True)
 
+    if isinstance(config, ARTFDeformationConfig):
+        params = _sampled_params(rng, config)
+    else:
+        params = ClothParams()
+
     if undeformed is not None:
         verts, faces = load_obj(undeformed)
         kp_path = str(undeformed).replace(".obj", ".json")
         if keypoints is None and os.path.exists(kp_path):
             with open(kp_path) as f:
                 keypoints = json.load(f)["keypoint_vertices"]
-        state, cons, _ = make_cloth(nx, ny, cloth_size, height=0.3)
-        # external mesh: keep its vertices, rebuild grid-free constraints is
-        # out of scope; fall back to grid resolution matching vertex count
+        # simulate the obj's OWN topology (structural + bending constraints
+        # derived from its faces), not the grid
+        from cloth_splatting_tpu.manipulation.sim import constraints_from_mesh
+
+        state, cons = constraints_from_mesh(verts, faces, params)
+        if keypoints is None:
+            # fall back to the mesh's bounding-box extremes as keypoints
+            idx = [int(np.argmin(verts[:, 0] + verts[:, 2])),
+                   int(np.argmax(verts[:, 0] - verts[:, 2])),
+                   int(np.argmin(verts[:, 0] - verts[:, 2])),
+                   int(np.argmax(verts[:, 0] + verts[:, 2]))]
+            keypoints = {f"corner_{i}": v for i, v in enumerate(idx)}
     else:
         verts = faces = None
-        state, cons, _ = make_cloth(nx, ny, cloth_size, height=0.3)
-    if keypoints is None:
-        keypoints = grid_keypoints(nx, ny)
-
-    if isinstance(config, ARTFDeformationConfig):
-        params = _sampled_params(rng, config)
-    else:
-        params = ClothParams()
+        state, cons, _ = make_cloth(nx, ny, cloth_size, height=0.3,
+                                    params=params)
+        if keypoints is None:
+            keypoints = grid_keypoints(nx, ny)
 
     # random orientation: (x, z) tilt then free yaw (deform_mesh.py:298-318)
     if isinstance(config, ARTFDeformationConfig):

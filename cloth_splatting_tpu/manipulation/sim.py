@@ -99,6 +99,50 @@ def make_cloth(nx: int = 20, ny: int = 20, size: float = 0.3,
     return state, cons, (nx, ny)
 
 
+def constraints_from_mesh(verts: np.ndarray, faces: np.ndarray,
+                          params: ClothParams = ClothParams()
+                          ) -> tuple[ClothState, ClothConstraints]:
+    """Build PBD state + constraints for an arbitrary triangle mesh:
+    structural constraints on the unique face edges, bending constraints
+    between the opposite vertices of each interior edge (the two triangles
+    sharing it)."""
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces, np.int64)
+    n = verts.shape[0]
+
+    edge_opposite: dict[tuple[int, int], list[int]] = {}
+    for tri in faces:
+        for i in range(3):
+            a, b = int(tri[i]), int(tri[(i + 1) % 3])
+            e = (min(a, b), max(a, b))
+            edge_opposite.setdefault(e, []).append(int(tri[(i + 2) % 3]))
+
+    edges, stiff = [], []
+    for e in sorted(edge_opposite):
+        edges.append(e)
+        stiff.append(params.stiffness)
+    for e, opp in sorted(edge_opposite.items()):
+        if len(opp) == 2 and opp[0] != opp[1]:
+            edges.append((min(opp), max(opp)))
+            stiff.append(params.bend_stiffness)
+
+    edges = np.asarray(edges, np.int32)
+    rest = np.linalg.norm(verts[edges[:, 0]] - verts[edges[:, 1]], axis=1)
+    degree = np.zeros(n)
+    np.add.at(degree, edges[:, 0], 1)
+    np.add.at(degree, edges[:, 1], 1)
+
+    state = ClothState(pos=jnp.asarray(verts),
+                       vel=jnp.zeros((n, 3), jnp.float32))
+    cons = ClothConstraints(
+        edges=jnp.asarray(edges),
+        rest_len=jnp.asarray(rest, jnp.float32),
+        stiff=jnp.asarray(stiff, jnp.float32),
+        inv_degree=jnp.asarray(1.0 / np.maximum(degree, 1.0), jnp.float32),
+    )
+    return state, cons
+
+
 def _project_constraints(p: jnp.ndarray, cons: ClothConstraints,
                          pinned_mask: jnp.ndarray, iterations: int) -> jnp.ndarray:
     """Jacobi PBD distance-constraint projection (vectorized scatter-add)."""
@@ -139,9 +183,13 @@ def cloth_step_multi(state: ClothState, cons: ClothConstraints,
     sub_dt = params.dt
     start = state.pos[grasp_idx]                                    # [P, 3]
 
+    # inactive handles scatter to an out-of-bounds index and are dropped —
+    # a self-write placeholder could clobber an ACTIVE grasp of the same
+    # particle (XLA scatter order with duplicate indices is unspecified)
+    safe_idx = jnp.where(grasp_active, grasp_idx, n)
+
     def pin_to(p, target_i):
-        upd = jnp.where(grasp_active[:, None], target_i, p[grasp_idx])
-        return p.at[grasp_idx].set(upd)
+        return p.at[safe_idx].set(target_i, mode="drop")
 
     def substep(i, st):
         pos, vel = st

@@ -308,10 +308,11 @@ def _rank_match_targets(src_mask: jnp.ndarray, free_mask: jnp.ndarray):
     return jnp.where(active, src_for_slot, 0), active
 
 
-def _copy_rows(params: GaussianParams, src: jnp.ndarray, dst_active: jnp.ndarray,
-               overrides: dict[str, jnp.ndarray] | None = None) -> GaussianParams:
+def _copy_rows(params, src: jnp.ndarray, dst_active: jnp.ndarray,
+               overrides: dict[str, jnp.ndarray] | None = None):
     """Copy parameter rows src->slot wherever dst_active, with optional
-    per-field overrides (already gathered to slot order)."""
+    per-field overrides (already gathered to slot order). Generic over any
+    NamedTuple of capacity-leading arrays (shared with the free-xyz model)."""
     overrides = overrides or {}
 
     def copy(name, arr):
@@ -319,7 +320,7 @@ def _copy_rows(params: GaussianParams, src: jnp.ndarray, dst_active: jnp.ndarray
         mask = dst_active.reshape((-1,) + (1,) * (arr.ndim - 1))
         return jnp.where(mask, new, arr)
 
-    return GaussianParams(**{k: copy(k, v) for k, v in params._asdict().items()})
+    return type(params)(**{k: copy(k, v) for k, v in params._asdict().items()})
 
 
 class DensifyResult(NamedTuple):

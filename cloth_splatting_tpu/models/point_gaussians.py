@@ -22,16 +22,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from cloth_splatting_tpu.models.gaussians import (
+    _copy_rows,
     _rank_match_targets,
     round_capacity,
 )
+from cloth_splatting_tpu.ops.image import inverse_sigmoid
 from cloth_splatting_tpu.ops.quaternion import quat_to_rotmat
 from cloth_splatting_tpu.ops.sh import rgb_to_sh
 from cloth_splatting_tpu.ops.smallmat import bmv3
-
-
-def inverse_sigmoid(x):
-    return jnp.log(x / (1.0 - x))
 
 
 class PointGaussianParams(NamedTuple):
@@ -75,7 +73,12 @@ def init_from_point_cloud(rng: np.random.Generator, points: np.ndarray,
     k = (sh_degree + 1) ** 2
 
     if colors is None:
-        colors = rng.random((n, 3)).astype(np.float32) / 255.0
+        # D-NeRF synthetic convention (dataset_readers.py:424-427): random
+        # SH COEFFS in [0, 1/255] -> colors = SH2RGB(shs) ~ mid-gray; treating
+        # rand/255 as RGB would initialize near-black (rgb_to_sh(0.002) = -1.77)
+        from cloth_splatting_tpu.ops.sh import sh_to_rgb
+        shs = rng.random((n, 3)).astype(np.float32) / 255.0
+        colors = np.asarray(sh_to_rgb(jnp.asarray(shs)))
     fdc = np.zeros((cap, 1, 3), np.float32)
     fdc[:n, 0] = np.asarray(rgb_to_sh(jnp.asarray(colors, jnp.float32)))
     frest = np.zeros((cap, k - 1, 3), np.float32)
@@ -111,21 +114,6 @@ class PointDensifyResult(NamedTuple):
     state: PointGaussianState
     touched: jnp.ndarray
     overflow: jnp.ndarray
-
-
-def _copy_rows(params: PointGaussianParams, src: jnp.ndarray,
-               dst_active: jnp.ndarray,
-               overrides: dict[str, jnp.ndarray] | None = None
-               ) -> PointGaussianParams:
-    overrides = overrides or {}
-
-    def copy(name, arr):
-        new = overrides.get(name, arr[src])
-        mask = dst_active.reshape((-1,) + (1,) * (arr.ndim - 1))
-        return jnp.where(mask, new, arr)
-
-    return PointGaussianParams(**{k: copy(k, v)
-                                  for k, v in params._asdict().items()})
 
 
 def densify_clone(params: PointGaussianParams, state: PointGaussianState,

@@ -31,7 +31,9 @@ def main() -> None:
     p.add_argument("--type", choices=["Colmap", "Blender"], default="Colmap")
     p.add_argument("--images", type=str, default=None,
                    help="COLMAP images subdirectory")
-    p.add_argument("--eval", action="store_true", default=True)
+    p.add_argument("--eval", action="store_true", default=False,
+                   help="hold out every llffhold-th camera (reference "
+                        "ModelParams.eval default False)")
     p.add_argument("--llffhold", type=int, default=8)
     p.add_argument("--white_background", "-w", action="store_true")
     p.add_argument("--sh_degree", type=int, default=3)
@@ -63,10 +65,18 @@ def main() -> None:
     if scene.point_cloud is None:
         raise SystemExit("scene has no point cloud to initialize from")
 
-    recs = scene.train[:args.max_cameras]
-    cam0 = recs[0].camera
+    cam0 = scene.train[0].camera
     w, h = cam0.width, cam0.height
     tanx, tany = np.tan(cam0.fovx / 2), np.tan(cam0.fovy / 2)
+    # COLMAP reconstructions can mix camera models/sizes; the fit is jitted
+    # at one (w, h, fov), so keep only cameras matching the first one
+    same_cam = [r for r in scene.train
+                if (r.camera.width, r.camera.height) == (w, h)
+                and abs(r.camera.fovx - cam0.fovx) < 1e-9]
+    if len(same_cam) < len(scene.train):
+        print(f"dropping {len(scene.train) - len(same_cam)} cameras with "
+              f"differing intrinsics (fit is single-intrinsics)")
+    recs = same_cam[:args.max_cameras]
     cams, gts = [], []
     for r in recs:
         cams.append(camera_arrays(r.camera))
@@ -83,8 +93,9 @@ def main() -> None:
         white_background=args.white_background)
     print(f"final train loss: {loss:.5f}")
 
-    # held-out evaluation
-    test = scene.test[:10] if scene.test else recs[:4]
+    # held-out evaluation (same-intrinsics cameras only)
+    test = [r for r in scene.test
+            if (r.camera.width, r.camera.height) == (w, h)][:10] or recs[:4]
     bg = jnp.ones(3) if args.white_background else jnp.zeros(3)
     psnrs = []
     for r in test:

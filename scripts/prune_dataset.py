@@ -20,7 +20,8 @@ def prune_json(json_name: str, n_frames: int) -> list[str]:
     frames = data["frames"]
     unique_times = np.unique([fr["time"] for fr in frames])
     valid_times = unique_times[:n_frames]
-    new_times = (np.arange(n_frames) / max(n_frames - 1, 1)).tolist()
+    n_kept = len(valid_times)       # dataset may have fewer than n_frames
+    new_times = (np.arange(n_kept) / max(n_kept - 1, 1)).tolist()
 
     new_frames, dropped = [], []
     for frame in frames:

@@ -130,3 +130,21 @@ def test_box_space():
     s = b.sample(np.random.default_rng(0))
     assert b.contains(s)
     assert not b.contains(np.array([5.0, 0.0]))
+
+
+def test_idle_picker_does_not_clobber_grasp_of_particle_zero():
+    """Regression: an inactive picker's placeholder index 0 must not beat an
+    active grasp of particle 0 in the duplicate-index scatter."""
+    import jax.numpy as jnp
+    from cloth_splatting_tpu.manipulation.sim import cloth_step_multi
+
+    sc = fresh_scene()
+    target = np.asarray(sc.state.pos)[0] + np.array([0.0, 0.12, 0.0])
+    new = cloth_step_multi(
+        sc.state, sc.cons,
+        jnp.asarray([0, 0], jnp.int32),                  # idle picker also "0"
+        jnp.stack([jnp.asarray(target, jnp.float32),
+                   jnp.asarray(sc.state.pos)[0]]),
+        jnp.asarray([True, False]),
+        sc.params)
+    np.testing.assert_allclose(np.asarray(new.pos)[0], target, atol=1e-5)

@@ -79,3 +79,26 @@ class TestDeformMesh:
         assert len(kp) == 9
         assert all(0 <= v < 64 for v in kp.values())
         assert kp["corner_00"] == 0 and kp["corner_11"] == 63
+
+
+class TestExternalObj:
+    def test_obj_topology_is_simulated_and_exported(self, tmp_path):
+        """Regression: an external .obj must be simulated with its OWN
+        vertices/faces, and exports must index only its vertices."""
+        from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+        mesh = grid_cloth_mesh(6, 6, size=0.3)
+        src = str(tmp_path / "cloth.obj")
+        verts = np.asarray(mesh.pos)
+        verts = verts - verts.mean(0) + np.array([0, 0.1, 0])
+        write_obj(src, verts, np.asarray(mesh.faces))
+
+        cfg = ARTFDeformationConfig(max_fold_distance=0.15)
+        out = str(tmp_path / "s")
+        result = deform_mesh(cfg, src, out, rng=np.random.default_rng(0),
+                             fold_steps=4, image_size=16)
+        hist = result["particles"]
+        assert hist.shape[1] == 36                      # the obj's vertices
+        assert np.all(np.isfinite(hist))
+        v2, f2 = load_obj(os.path.join(out, "meshes", "000000.obj"))
+        assert v2.shape[0] == 36
+        assert f2.max() < 36

@@ -200,3 +200,21 @@ class TestFitLegacyCLI:
         with open(os.path.join(out, "results.json")) as f:
             res = json.load(f)
         assert res["ours_static"]["PSNR"] > 5.0
+
+
+def test_images_text_with_empty_track_lines(tmp_path):
+    """Regression: COLMAP writes a BLANK 2D-point line for images with zero
+    observations; the pairing parity must survive it."""
+    from cloth_splatting_tpu.data.legacy import read_colmap_images_text
+
+    path = str(tmp_path / "images.txt")
+    with open(path, "w") as f:
+        f.write("# Image list\n")
+        f.write("1 1 0 0 0 0.1 0.2 2.0 1 a.png\n")
+        f.write("\n")                                   # zero-point track
+        f.write("2 1 0 0 0 0.3 0.4 2.0 1 b.png\n")
+        f.write("1.0 2.0 -1 3.0 4.0 7\n")
+    imgs = read_colmap_images_text(path)
+    assert set(imgs) == {1, 2}
+    assert imgs[2]["name"] == "b.png"
+    np.testing.assert_allclose(imgs[2]["tvec"], [0.3, 0.4, 2.0])

@@ -14,8 +14,10 @@ ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
 
 
 def run(script, *args):
+    # generous timeout: scripts that import jax pay ~30-60 s of cold import
+    # on a loaded CPU host
     return subprocess.run([sys.executable, os.path.join(SCRIPTS, script), *args],
-                          capture_output=True, text=True, env=ENV, timeout=240)
+                          capture_output=True, text=True, env=ENV, timeout=480)
 
 
 class TestPruneDataset:
