@@ -121,10 +121,19 @@ def render_set(
     cam0 = cameras[0]
     w, h = cam0.width, cam0.height
 
+    # serving path: the forward-only Pallas kernel (no k_cap, exact depth)
+    # whenever the frame tiles evenly on an accelerator; the dense XLA tier
+    # remains the fallback for odd sizes and CPU
+    use_pallas = (jax.default_backend() != "cpu"
+                  and w % 16 == 0 and h % 16 == 0)
+    bg_static = tuple(float(c) for c in np.asarray(bg))
+
     @jax.jit
     def render_one(cam_arr):
         out = render(cam_arr, w, h, cam0.tanfovx, cam0.tanfovy, params, state,
-                     mesh, sim_params, preds, bg, sh_degree, k_cap=k_cap)
+                     mesh, sim_params, preds, bg, sh_degree, k_cap=k_cap,
+                     backend="pallas_fwd" if use_pallas else "tiled",
+                     bg_static=bg_static)
         return out
 
     # warmup/compile outside the timed loop (parity with CUDA warm caches)

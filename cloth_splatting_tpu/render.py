@@ -128,7 +128,23 @@ def render(
         scale = jnp.asarray([width / 2.0, height / 2.0], dtype=proj.xy.dtype)
         proj = proj._replace(xy=proj.xy + screen_offset * scale)
 
-    if backend == "pallas":
+    if backend == "pallas_fwd":
+        # Forward-only serving Pallas tier: no k_cap, exact depth ordering,
+        # no VJP bookkeeping — the fastest path for eval/video rendering.
+        import jax
+
+        from cloth_splatting_tpu.ops.rasterize.pallas_tiled import (
+            rasterize_pallas,
+        )
+
+        if bg_static is None:
+            raise ValueError("backend='pallas_fwd' requires bg_static")
+        rgb, depth, alpha, _ = rasterize_pallas(
+            proj, width, height, bg_static,
+            interpret=jax.default_backend() == "cpu",
+        )
+        n_dropped = jnp.zeros((), jnp.int32)
+    elif backend == "pallas":
         # Differentiable Pallas tier (custom VJP): no k_cap, exact depth
         # ordering. Background must be static (baked into the kernel).
         import jax
