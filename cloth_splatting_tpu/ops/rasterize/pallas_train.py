@@ -109,24 +109,10 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             return pltpu.make_async_copy(
                 grads_hbm.at[:, pl.ds(c0, CHUNK)], gout.at[slot], osem.at[slot])
 
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, n_chunks - 1).start()
-
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        def chunk_body(k, carry):
-            # k runs 0..n_chunks-1; chunk index walks BACKWARD
-            ci = n_chunks - 1 - k
-            t_end, s_tail = carry
-
-            @pl.when(k + 1 < n_chunks)
-            def _():
-                get_dma((k + 1) % 2, ci - 1).start()
-
-            get_dma(k % 2, ci).wait()
-            blk = buf[k % 2]                                # [16, CHUNK]
-
+        def chunk_alpha(blk, ci):
+            """Shared per-chunk compositing quantities (both sweeps)."""
             gx = blk[0:1, :] - ox                           # tile-local
             gy = blk[1:2, :] - oy
             ca = blk[2:3, :]
@@ -134,10 +120,8 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             cc = blk[4:5, :]
             op = blk[8:9, :]
             cut = blk[10:11, :]
-
             pos = astart + ci * CHUNK + lane
             live = (pos >= start) & (pos < start + count)
-
             dx = px - gx
             dy = py - gy
             power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -147,35 +131,82 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             alpha = jnp.minimum(ALPHA_MAX, a_raw)
             dead = (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live)
             alpha = jnp.where(dead, 0.0, alpha)
-
-            # forward cumprods within the chunk
             incl = 1.0 - alpha
-            s = 1
-            while s < CHUNK:
-                shifted = jnp.where(lane >= s, pltpu.roll(incl, s, 1), 1.0)
+            sh = 1
+            while sh < CHUNK:
+                shifted = jnp.where(lane >= sh, pltpu.roll(incl, sh, 1), 1.0)
                 incl = incl * shifted
-                s *= 2
+                sh *= 2
             excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
-            t_start = t_end / jnp.maximum(incl[:, CHUNK - 1:CHUNK], 1e-12)
-            t_i = t_start * excl                            # [p, CHUNK]
+            return (gx, gy, ca, cb, cc, expp, a_raw, clamped, alpha, dead,
+                    live, incl, excl)
+
+        def chunk_u(blk):
+            return (g_r * blk[5:6, :] + g_g * blk[6:7, :] + g_b * blk[7:8, :]
+                    + g_d * blk[9:10, :])                   # [p, CHUNK]
+
+        # ------------------------------------------------------ sweep 1
+        # Front-to-back transmittance walk (products only — the previous
+        # back-to-front design divided T back up through prod(1 - alpha),
+        # which EXPLODES in fp32 once a chunk stacks >6 near-opaque
+        # instances; observed as NaN training loss at ~15k Gaussians).
+        # This sweep accumulates Total = sum_j u_j w_j per pixel so sweep 2
+        # can form the suffix S_i = Total - Prefix_i with no division.
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def sweep1(ci, carry):
+            t_run, total_uw = carry
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                get_dma((ci + 1) % 2, ci + 1).start()
+
+            get_dma(ci % 2, ci).wait()
+            blk = buf[ci % 2]
+            (_, _, _, _, _, _, _, _, alpha, _, _, incl,
+             excl) = chunk_alpha(blk, ci)
+            w = alpha * (t_run * excl)
+            total_uw = total_uw + jnp.sum(chunk_u(blk) * w, axis=1,
+                                          keepdims=True)
+            return (t_run * incl[:, CHUNK - 1:CHUNK], total_uw)
+
+        _, total_uw = jax.lax.fori_loop(
+            0, n_chunks, sweep1,
+            (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)))
+
+        # ------------------------------------------------------ sweep 2
+        # Same walk again, emitting gradients with exact front-to-back T.
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def sweep2(ci, carry):
+            t_run, prefix_base = carry
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                get_dma((ci + 1) % 2, ci + 1).start()
+
+            get_dma(ci % 2, ci).wait()
+            blk = buf[ci % 2]
+            (gx, gy, ca, cb, cc, expp, a_raw, clamped, alpha, dead, live,
+             incl, excl) = chunk_alpha(blk, ci)
+            t_i = t_run * excl                              # [p, CHUNK]
             w = alpha * t_i
-
-            # u = sum_c g_c c_i + g_dep d_i
-            u = (g_r * blk[5:6, :] + g_g * blk[6:7, :] + g_b * blk[7:8, :]
-                 + g_d * blk[9:10, :])                      # [p, CHUNK]
-
-            # suffix S_i = s_tail + sum_{j>i in chunk} u_j w_j:
-            # inclusive reverse cumsum via log-step left rolls, then subtract
-            # the diagonal to make it exclusive
+            u = chunk_u(blk)
             uw = u * w
+
+            # inclusive forward prefix of uw along the lane axis
             cum = uw
-            s = 1
-            while s < CHUNK:
-                # left shift by s == circular roll by CHUNK - s, masked
-                cum = cum + jnp.where(lane < CHUNK - s,
-                                      pltpu.roll(cum, CHUNK - s, 1), 0.0)
-                s *= 2
-            suffix = cum - uw + s_tail                      # exclusive + tail
+            sh = 1
+            while sh < CHUNK:
+                cum = cum + jnp.where(lane >= sh, pltpu.roll(cum, sh, 1), 0.0)
+                sh *= 2
+            suffix = total_uw - (prefix_base + cum)         # S_i, j > i
 
             dl_da = u * t_i + (kk - suffix) / jnp.maximum(1.0 - alpha, 1e-3)
             grad_gate = dead | clamped
@@ -221,7 +252,7 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
 
             # first (lowest-address) chunk may share rows with the previous
             # tile's tail: read what it wrote, accumulate, write back
-            oslot = k % 2
+            oslot = ci % 2
             is_boundary = (ci == 0) & (astart < start)
 
             @pl.when(is_boundary)
@@ -237,13 +268,12 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             put_dma(oslot, ci).start()
             put_dma(oslot, ci).wait()
 
-            t_end_new = t_start
-            s_tail_new = s_tail + jnp.sum(uw, axis=1, keepdims=True)
-            return (t_end_new, s_tail_new)
+            prefix_base = prefix_base + jnp.sum(uw, axis=1, keepdims=True)
+            return (t_run * incl[:, CHUNK - 1:CHUNK], prefix_base)
 
-        t0 = t_fin
-        s0 = jnp.zeros((p, 1), jnp.float32)
-        jax.lax.fori_loop(0, n_chunks, chunk_body, (t0, s0))
+        jax.lax.fori_loop(
+            0, n_chunks, sweep2,
+            (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)))
 
     return kernel
 

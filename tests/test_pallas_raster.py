@@ -194,3 +194,59 @@ class TestTile32:
                                            tile_size=16, win=5, interpret=True)
         np.testing.assert_allclose(np.asarray(rgb_auto), np.asarray(rgb_16),
                                    atol=1e-6)
+
+
+class TestDeepOcclusionGrads:
+    """Regression for the transmittance-underflow NaN: ~200 stacked
+    near-opaque splats drive prod(1 - alpha) below fp32 range inside one
+    chunk; the backward's T reconstruction must stay finite and bounded."""
+
+    def test_grads_finite_under_opaque_stack(self):
+        import jax
+        from cloth_splatting_tpu.ops.projection import ProjectedGaussians
+        from cloth_splatting_tpu.ops.rasterize.pallas_train import (
+            rasterize_pallas_grad,
+        )
+
+        n = 200
+        rng = np.random.default_rng(0)
+        xy = jnp.asarray(
+            W / 2 + rng.normal(0, 1.5, size=(n, 2)), jnp.float32)
+        depth = jnp.asarray(np.linspace(1.0, 3.0, n), jnp.float32)
+        conic = jnp.tile(jnp.asarray([[0.02, 0.0, 0.02]], jnp.float32),
+                         (n, 1))
+        color = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        opacity = jnp.full((n,), 0.995, jnp.float32)   # near-opaque stack
+        proj = ProjectedGaussians(
+            xy=xy, depth=depth, conic=conic,
+            radius=jnp.full((n,), 20.0, jnp.float32),
+            color=color, opacity=opacity,
+            valid=jnp.ones((n,), bool),
+            power_cut=jnp.full((n,), -50.0, jnp.float32))
+
+        def loss(op, color, xy):
+            p = proj._replace(opacity=op, color=color, xy=xy)
+            rgb, dep, acc = rasterize_pallas_grad(p, W, H, (1.0, 1.0, 1.0),
+                                                  interpret=True)
+            return jnp.mean(rgb) + 0.1 * jnp.mean(acc)
+
+        val, grads = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+            opacity, color, xy)
+        assert np.isfinite(float(val))
+
+        def loss_oracle(op, color, xy):
+            p = proj._replace(opacity=op, color=color, xy=xy)
+            rgb, dep, acc = rasterize_reference(p, W, H, jnp.ones(3))
+            return jnp.mean(rgb) + 0.1 * jnp.mean(acc)
+
+        grads_o = jax.grad(loss_oracle, argnums=(0, 1, 2))(
+            opacity, color, xy)
+        for name, g, go in zip(("opacity", "color", "xy"), grads, grads_o):
+            arr, ref = np.asarray(g), np.asarray(go)
+            assert np.all(np.isfinite(arr)), f"non-finite grad in {name}"
+            # the two-sweep backward must MATCH the oracle here — the old
+            # divide-back-up design produced inf/NaN (then, clamped,
+            # 1e5x-wrong front-instance gradients)
+            scale = np.abs(ref).max() + 1e-12
+            np.testing.assert_allclose(arr, ref, atol=5e-4 * scale,
+                                       err_msg=name)
