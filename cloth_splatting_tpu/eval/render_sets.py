@@ -140,11 +140,21 @@ def render_set(
     first = render_one(camera_arrays(cameras[0]))
     jax.block_until_ready(first.rgb)
 
-    frames = []
-    deform_logs = []
+    # Timed loop accumulates ON DEVICE (the reference's convention times the
+    # render kernels, not the GPU->CPU image downloads, render.py:300-301;
+    # through the TPU tunnel a per-frame 800x800 download costs ~0.5 s and
+    # would measure the link, not the renderer).
+    outs = []
     t0 = time.time()
     for cam in cameras:
-        out = render_one(camera_arrays(cam))
+        outs.append(render_one(camera_arrays(cam)))
+    jax.block_until_ready(outs[-1].rgb)
+    elapsed = time.time() - t0
+    fps = (len(cameras) - 1) / max(elapsed, 1e-9)
+
+    frames = []
+    deform_logs = []
+    for out in outs:
         frames.append(np.asarray(jnp.clip(out.rgb, 0, 1)))
         if log_deform or show_flow:
             deform_logs.append({
@@ -154,8 +164,6 @@ def render_set(
                 "projections": np.asarray(out.projections),
                 "depth": np.asarray(out.depth),
             })
-    elapsed = time.time() - t0
-    fps = (len(cameras) - 1) / max(elapsed, 1e-9)
     print(f"{split}: rendered {len(cameras)} views in {elapsed:.3f}s -> FPS {fps:.2f}")
 
     for i, (img, cam) in enumerate(zip(frames, cameras)):
