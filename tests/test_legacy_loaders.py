@@ -193,7 +193,7 @@ class TestFitLegacyCLI:
             [sys.executable, os.path.join(repo, "fit_legacy.py"),
              "-s", scene, "-m", out, "--type", "Blender", "-w",
              "--iterations", "30", "--sh_degree", "1", "--k_cap", "64"],
-            capture_output=True, text=True, timeout=500,
+            capture_output=True, text=True, timeout=1200,
             env={**os.environ, "JAX_PLATFORMS": "cpu"})
         assert r.returncode == 0, r.stderr[-2000:]
         assert os.path.exists(os.path.join(out, "point_cloud.ply"))
