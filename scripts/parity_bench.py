@@ -70,7 +70,10 @@ def main() -> None:
         "--static_reconst_iteration", args.static,
         "--test_iterations", args.iterations,
         "--save_iterations", args.iterations, "--quiet")
-    run("render.py", "-m", exp, "--skip_video", "--log_deform")
+    # test split only: the train-split render doubles the wall time (each
+    # 800x800 compile + per-frame dispatch is minutes through the tunnel)
+    # and contributes nothing to the metric triple
+    run("render.py", "-m", exp, "--skip_video", "--skip_train", "--log_deform")
     run("metrics.py", "-m", exp)
     mte_out = run(os.path.join("scripts", "align_eval_trajs.py"),
                   "--trajs", os.path.join(exp, "all_trajs.npz"),
