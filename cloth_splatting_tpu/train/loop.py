@@ -148,8 +148,15 @@ def train_scene(
     seed: int = 6666,
     progress_every: int = 50,
     on_iteration: Optional[Callable[[int, dict], None]] = None,
+    three_steps_batch: bool = True,
 ) -> SplatTrainState:
-    """Run the full static+dynamic optimization for one scene."""
+    """Run the full static+dynamic optimization for one scene.
+
+    ``three_steps_batch=False`` selects the reference's FourDGSdataset
+    regime (scene.py:131-137): ONE random (view, time) camera per dynamic
+    iteration instead of the 3-consecutive-time batch (the consecutive-time
+    regularizers need >= 3 cameras and fall away automatically).
+    """
     os.makedirs(out_dir, exist_ok=True)
     o = cfg.opt
     rng = np.random.default_rng(seed)
@@ -204,7 +211,9 @@ def train_scene(
             t_ids = [0]
         else:
             vi = int(rng.integers(scene.train.n_views))
-            if n_times >= 3:
+            if not three_steps_batch:
+                t_ids = [int(rng.integers(n_times))]
+            elif n_times >= 3:
                 mid = int(rng.integers(1, n_times - 1))
                 t_ids = [mid - 1, mid, mid + 1]
             else:

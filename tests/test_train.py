@@ -270,3 +270,32 @@ class TestCapacityGrowth:
         grown, metrics = trainer.step(grown, cam_batch, gt_images, None,
                                       sh_degree=0, static=True)
         assert np.isfinite(float(metrics.loss))
+
+
+class TestSingleCameraRegime:
+    """three_steps_batch=False: the reference's FourDGSdataset path (one
+    random camera per dynamic iteration, scene.py:131-137)."""
+
+    def test_single_camera_batches_train(self, tmp_path):
+        from cloth_splatting_tpu.data.synthetic import generate_synthetic_scene
+        from cloth_splatting_tpu.data.scene import load_cloth_scene
+        from cloth_splatting_tpu.train.config import Config
+        from cloth_splatting_tpu.train.loop import train_scene
+
+        scene_dir = str(tmp_path / "scene")
+        generate_synthetic_scene(scene_dir, n_views=3, n_times=3,
+                                 image_size=32, mesh_res=6)
+        scene = load_cloth_scene(scene_dir)
+        cfg = Config()
+        cfg.model.source_path = scene_dir
+        cfg.model.model_path = str(tmp_path / "out")
+        cfg.opt.iterations = 12
+        cfg.opt.static_reconst_iteration = 4
+        cfg.opt.raster_k_cap = 64
+        cfg.opt.raster_k_chunk = 16
+        seen_batches = []
+        state = train_scene(cfg, scene, cfg.model.model_path,
+                            progress_every=100, three_steps_batch=False,
+                            on_iteration=lambda it, m: seen_batches.append(m))
+        assert len(seen_batches) == 12
+        assert all(np.isfinite(m["loss"]) for m in seen_batches)

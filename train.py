@@ -53,7 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--expname", type=str, default="cloth_tpu")
     parser.add_argument("--configs", type=str, default="")
-    parser.add_argument("--three_steps_batch", type=bool, default=True)
+    parser.add_argument("--three_steps_batch", type=lambda v: v.lower() not in ("0", "false"),
+                        default=True,
+                        help="3-consecutive-time camera batches (default); "
+                             "False = one random camera per iteration "
+                             "(the reference's FourDGSdataset regime)")
     parser.add_argument("--view_skip", type=int, default=1)
     parser.add_argument("--time_skip", type=int, default=1)
     parser.add_argument("--single_cam_video", action="store_true")
@@ -116,6 +120,7 @@ def main() -> None:
         checkpoint_iterations=args.checkpoint_iterations,
         start_checkpoint=args.start_checkpoint,
         seed=args.seed,
+        three_steps_batch=args.three_steps_batch,
     )
     print("\nTraining complete.")
 
