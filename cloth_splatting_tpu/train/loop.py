@@ -59,9 +59,14 @@ def build_banks(grid: CameraGrid, white_background: bool):
 
 def evaluate_split(trainer: Trainer, state: SplatTrainState, grid: CameraGrid,
                    white_background: bool, sh_degree: int,
-                   max_cameras: int = 20) -> dict[str, float]:
-    """Held-out L1/PSNR over (a subset of) a camera grid."""
+                   max_cameras: int = 20,
+                   save_dir: str | None = None) -> dict[str, float]:
+    """Held-out L1/PSNR over (a subset of) a camera grid; ``save_dir``
+    dumps render/gt pairs (the reference's training_report image dumps,
+    train.py:314)."""
     records = grid.records[:max_cameras]
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
 
     @jax.jit
     def eval_one(cam_arr, gt):
@@ -77,12 +82,26 @@ def evaluate_split(trainer: Trainer, state: SplatTrainState, grid: CameraGrid,
         return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt))
 
     psnrs, l1s = [], []
-    for rec in records:
+    for i, rec in enumerate(records):
         gt = jnp.asarray(decode_image(rec.image_path, white_background),
                          jnp.float32) / 255.0
         p, l1 = eval_one(camera_arrays(rec.camera), gt)
         psnrs.append(float(p))
         l1s.append(float(l1))
+        if save_dir and i < 4:
+            import imageio.v2 as imageio
+
+            out = render(
+                camera_arrays(rec.camera), trainer.width, trainer.height,
+                trainer.tanfovx, trainer.tanfovy, state.params, state.gstate,
+                trainer.mesh, state.sim_params, trainer.mesh_predictions,
+                trainer.bg_color, sh_degree,
+                k_cap=trainer.cfg.opt.raster_k_cap,
+                k_chunk=trainer.cfg.opt.raster_k_chunk)
+            img = np.asarray(jnp.clip(out.rgb, 0, 1))
+            imageio.imwrite(
+                os.path.join(save_dir, f"{rec.image_name or i}_render.png"),
+                (img.transpose(1, 2, 0) * 255).astype(np.uint8))
     return {"psnr": float(np.mean(psnrs)), "l1": float(np.mean(l1s))}
 
 
@@ -149,6 +168,8 @@ def train_scene(
     progress_every: int = 50,
     on_iteration: Optional[Callable[[int, dict], None]] = None,
     three_steps_batch: bool = True,
+    save_test_images: bool = False,
+    wandb=None,
 ) -> SplatTrainState:
     """Run the full static+dynamic optimization for one scene.
 
@@ -263,12 +284,21 @@ def train_scene(
                   f"({rate:.1f} it/s)")
             logger.log(iteration, loss=loss, psnr=psnr, n_gaussians=n_alive,
                        iters_per_sec=rate)
+            if wandb is not None:
+                wandb.log({"loss": loss, "psnr": psnr,
+                           "n_gaussians": n_alive}, step=iteration)
 
         if iteration in test_iterations:
-            ev = evaluate_split(trainer, state, scene.test,
-                                scene.white_background, sh_degree)
+            ev = evaluate_split(
+                trainer, state, scene.test, scene.white_background, sh_degree,
+                save_dir=(os.path.join(out_dir, "test_renders",
+                                       f"iter_{iteration}")
+                          if save_test_images else None))
             print(f"[ITER {iteration}] test psnr={ev['psnr']:.2f} l1={ev['l1']:.4f}")
             logger.log(iteration, test_psnr=ev["psnr"], test_l1=ev["l1"])
+            if wandb is not None:
+                wandb.log({"test_psnr": ev["psnr"], "test_l1": ev["l1"]},
+                          step=iteration)
 
         if iteration in save_iterations:
             save_scene_checkpoint(out_dir, iteration, trainer, state)

@@ -94,6 +94,10 @@ def main() -> None:
 
     timestamp_stdout(args.quiet)
     seed_everything(args.seed)
+    if args.detect_anomaly:
+        # the reference's torch.autograd.set_detect_anomaly (train.py:435)
+        from cloth_splatting_tpu.utils.profiling import enable_debug_checks
+        enable_debug_checks()
 
     if not cfg.model.source_path:
         parser.error("--source_path/-s is required")
@@ -105,6 +109,15 @@ def main() -> None:
     with open(os.path.join(cfg.model.model_path, "cfg_args"), "w") as f:
         f.write(repr(argparse.Namespace(**vars(args))))
 
+    # reference coarse-stage mapping: a "coarse" stage optimizes with the
+    # deformation frozen, which is exactly the static stage here; when a
+    # config enables coarse (no_coarse=False) without its own static stage,
+    # run the static stage for coarse_iterations (reference train.py:243-247)
+    if not cfg.opt.no_coarse and not cfg.opt.static_reconst \
+            and cfg.opt.coarse_iterations > 0:
+        cfg.opt.static_reconst = True
+        cfg.opt.static_reconst_iteration = cfg.opt.coarse_iterations
+
     print(f"Optimizing {cfg.model.model_path}")
     time_skip = args.time_skip if args.time_skip and args.time_skip > 1 else None
     view_skip = args.view_skip if args.view_skip and args.view_skip > 1 else None
@@ -113,6 +126,13 @@ def main() -> None:
         time_skip=time_skip, view_skip=view_skip,
         single_cam_video=args.single_cam_video,
     )
+    wandb = None
+    if args.use_wandb:
+        from cloth_splatting_tpu.utils.logging import WandbAdapter
+
+        wandb = WandbAdapter(project=args.expname, name=args.expname,
+                             config=vars(args), enabled=True)
+
     train_scene(
         cfg, scene, cfg.model.model_path,
         test_iterations=args.test_iterations,
@@ -121,7 +141,11 @@ def main() -> None:
         start_checkpoint=args.start_checkpoint,
         seed=args.seed,
         three_steps_batch=args.three_steps_batch,
+        save_test_images=args.save_test_images,
+        wandb=wandb,
     )
+    if wandb is not None:
+        wandb.finish()
     print("\nTraining complete.")
 
 
