@@ -80,8 +80,16 @@ def process_trajectory(
     sim_data: bool = True,
     norm_threshold: float = 0.1,
     seed: int = 0,
+    use_delaunay: bool = True,
+    knn: int = 10,
 ) -> dict[str, Any]:
-    """Raw h5 dict -> processed trajectory dict (numpy, pre-expansion)."""
+    """Raw h5 dict -> processed trajectory dict (numpy, pre-expansion).
+
+    ``use_delaunay=False`` builds a kNN graph instead of the Delaunay mesh
+    (the reference's compute_edges_index delaunay=False fallback,
+    meshnet/data_utils.py:407-416); faces then come from an unthresholded
+    Delaunay pass purely for the mesh-anchored renderer's benefit.
+    """
     pos = raw["pos"].astype(np.float32)
     actions = raw["actions"].astype(np.float32)
     pick = raw["pick"].astype(np.float32)
@@ -101,10 +109,14 @@ def process_trajectory(
                                         norm_threshold=norm_threshold)
     if faces.size == 0:
         raise ValueError("no valid faces survive the norm threshold")
-    # face-derived bidirectional edges (FaceToEdge semantics)
-    from cloth_splatting_tpu.data.meshing import faces_to_edges
+    from cloth_splatting_tpu.data.meshing import faces_to_edges, knn_edges
 
-    edge_index = faces_to_edges(faces.astype(np.int32))
+    if use_delaunay:
+        # face-derived bidirectional edges (FaceToEdge semantics)
+        edge_index = faces_to_edges(faces.astype(np.int32))
+    else:
+        single = knn_edges(pos[0], k=knn)
+        edge_index = np.concatenate([single, single[::-1]], axis=1).astype(np.int32)
 
     vel = np.zeros_like(pos)
     vel[1:] = (pos[1:] - pos[:-1]) / dt
@@ -135,7 +147,9 @@ class ClothSampleDataset:
                  future_seq_len: int = 1, dt: float = 1.0,
                  num_samples: int = 200, sim_data: bool = True,
                  norm_threshold: float = 0.1,
-                 trajectories: list[dict] | None = None):
+                 trajectories: list[dict] | None = None,
+                 subsample: bool = True, use_delaunay: bool = True,
+                 knn: int = 10):
         self.input_seq_len = input_seq_len
         self.future_seq_len = future_seq_len
         self.dt = dt
@@ -145,7 +159,9 @@ class ClothSampleDataset:
             self.trajs = [
                 process_trajectory(load_sim_trajectory(d), dt=dt,
                                    num_samples=num_samples, sim_data=sim_data,
-                                   norm_threshold=norm_threshold)
+                                   norm_threshold=norm_threshold,
+                                   subsample=subsample,
+                                   use_delaunay=use_delaunay, knn=knn)
                 for d in env_trajectory_dirs(data_root)
             ]
         else:

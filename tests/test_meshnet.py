@@ -304,3 +304,32 @@ class TestMeshViz:
         gif = create_gif(paths, str(tmp_path / "rollout.gif"))
         import os as _os
         assert _os.path.getsize(gif) > 0
+
+
+class TestGraphOptions:
+    """--delaunay/--knn/--subsample plumbed through the dataset (reference
+    compute_edges_index fallback, meshnet/data_utils.py:407-416)."""
+
+    def test_knn_graph_fallback(self, tmp_path):
+        from cloth_splatting_tpu.manipulation.collect import collect_dataset
+
+        root = str(tmp_path / "ds")
+        collect_dataset(root, n_trajectories=1, nx=8, ny=8, n_steps=6)
+        d_del = ClothSampleDataset(root, 2, 1, 1.0, 40, use_delaunay=True)
+        d_knn = ClothSampleDataset(root, 2, 1, 1.0, 40, use_delaunay=False,
+                                   knn=4)
+        e_del = d_del.trajs[0]["edge_index"]
+        e_knn = d_knn.trajs[0]["edge_index"]
+        assert e_del.shape[0] == 2 and e_knn.shape[0] == 2
+        assert e_knn.shape[1] != e_del.shape[1]   # genuinely different graphs
+        # bidirectional
+        s_knn = {(int(a), int(b)) for a, b in e_knn.T}
+        assert all((b, a) in s_knn for a, b in s_knn)
+
+    def test_no_subsample_keeps_all_nodes(self, tmp_path):
+        from cloth_splatting_tpu.manipulation.collect import collect_dataset
+
+        root = str(tmp_path / "ds")
+        collect_dataset(root, n_trajectories=1, nx=8, ny=8, n_steps=6)
+        d = ClothSampleDataset(root, 2, 1, 1.0, 40, subsample=False)
+        assert d.trajs[0]["pos"].shape[1] == 64   # all 8x8 particles

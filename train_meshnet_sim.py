@@ -82,15 +82,17 @@ def main() -> None:
     model_dir = os.path.join(args.model_path, exp_name)
 
     if args.mode == "train":
+        graph_kw = dict(subsample=bool(args.subsample),
+                        use_delaunay=bool(args.delaunay), knn=args.knn)
         ds = ClothSampleDataset(args.data_path, args.input_sequence_length,
                                 args.future_sequence_length, args.dt,
-                                args.num_samples)
+                                args.num_samples, **graph_kw)
         val_ds = None
         if os.path.isdir(args.data_val_path):
             val_ds = ClothSampleDataset(args.data_val_path,
                                         args.input_sequence_length,
                                         args.future_sequence_length, args.dt,
-                                        args.num_samples)
+                                        args.num_samples, **graph_kw)
         print(f"Experiment: {exp_name} | {len(ds.trajs)} trajectories, "
               f"{len(ds)} samples")
         state, losses = train_meshnet(
@@ -106,7 +108,10 @@ def main() -> None:
     else:
         ds = ClothSampleDataset(args.data_path, args.input_sequence_length,
                                 args.future_sequence_length, args.dt,
-                                args.num_samples)
+                                args.num_samples,
+                                subsample=bool(args.subsample),
+                                use_delaunay=bool(args.delaunay),
+                                knn=args.knn)
         state = trainer.load(model_dir, state,
                              args.model_file if args.model_file else "latest")
         os.makedirs(args.output_path, exist_ok=True)
