@@ -156,6 +156,44 @@ def load_train_checkpoint(path: str, template: SplatTrainState) -> SplatTrainSta
     return checkpoints.restore_like(template, flat)
 
 
+def _poll_viewer(trainer: Trainer, state: SplatTrainState,
+                 sh_degree: int) -> None:
+    """Non-blocking viewer poll per iteration (the reference's network_gui
+    loop, train.py:129-144): accept a pending client, answer one render
+    request if a camera arrived, drop the connection on any error."""
+    from cloth_splatting_tpu.utils import viewer
+
+    if viewer.conn is None:
+        viewer.try_connect()
+    if viewer.conn is None:
+        return
+    try:
+        cam, do_training, keep_alive, scaling = viewer.receive()
+        if cam is not None:
+            wv = np.asarray(cam["world_view"], np.float32)
+            fp = np.asarray(cam["full_proj"], np.float32)
+            center = np.linalg.inv(wv.T)[:3, 3]
+            arr = CameraArrays(world_view=jnp.asarray(wv),
+                               full_proj=jnp.asarray(fp),
+                               camera_center=jnp.asarray(center, jnp.float32),
+                               time=jnp.asarray(cam["time"], jnp.float32))
+            out = render(
+                arr, cam["width"], cam["height"],
+                trainer.tanfovx, trainer.tanfovy, state.params, state.gstate,
+                trainer.mesh, state.sim_params, trainer.mesh_predictions,
+                trainer.bg_color, sh_degree,
+                scaling_modifier=scaling,
+                k_cap=trainer.cfg.opt.raster_k_cap,
+                k_chunk=trainer.cfg.opt.raster_k_chunk)
+            img = np.asarray(jnp.clip(out.rgb, 0, 1))
+            viewer.send((img.transpose(1, 2, 0) * 255)
+                        .astype(np.uint8).tobytes())
+        if not keep_alive:
+            viewer.disconnect()
+    except Exception:
+        viewer.disconnect()
+
+
 def train_scene(
     cfg: Config,
     scene: ClothScene,
@@ -170,6 +208,7 @@ def train_scene(
     three_steps_batch: bool = True,
     save_test_images: bool = False,
     wandb=None,
+    viewer_enabled: bool = False,
 ) -> SplatTrainState:
     """Run the full static+dynamic optimization for one scene.
 
@@ -214,6 +253,9 @@ def train_scene(
 
     for iteration in range(first_iter, o.iterations + 1):
         static = o.static_reconst and iteration < o.static_reconst_iteration
+
+        if viewer_enabled:
+            _poll_viewer(trainer, state, sh_degree)
 
         if iteration % 1000 == 0 and sh_degree < cfg.model.sh_degree:
             sh_degree += 1

@@ -1,0 +1,86 @@
+"""Live viewer protocol + in-training polling (reference network_gui,
+gaussian_renderer/network_gui.py:26-86, polled in train.py:129-144)."""
+
+import json
+import socket
+import struct
+import threading
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+from cloth_splatting_tpu.models import gaussians as G
+from cloth_splatting_tpu.models.deform import init_residual_simulator
+from cloth_splatting_tpu.ops.camera import Camera
+from cloth_splatting_tpu.train.config import Config
+from cloth_splatting_tpu.train.loop import _poll_viewer
+from cloth_splatting_tpu.train.step import Trainer
+from cloth_splatting_tpu.utils import viewer
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class TestViewerPolling:
+    def test_request_render_roundtrip(self):
+        rng = np.random.default_rng(0)
+        mesh = grid_cloth_mesh(6, 6, size=1.2)
+        cfg = Config()
+        cfg.opt.raster_k_cap = 64
+        cfg.opt.raster_k_chunk = 16
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2,
+                                          capacity=256)
+        sim = init_residual_simulator(rng, int(mesh.pos.shape[0]))
+        preds = jnp.tile(mesh.pos[None], (2, 1, 1))
+        fov = 2 * np.arctan(0.4)
+        cam = Camera.create(R=np.eye(3), t=np.asarray([0.0, 0.0, 3.0]),
+                            fovx=fov, fovy=fov, width=32, height=32, time=0.5)
+        trainer = Trainer(cfg, mesh, preds, 32, 32, cam.tanfovx, cam.tanfovy,
+                          2.0)
+        state = trainer.init_state(rng, params, gstate, sim)
+
+        port = _free_port()
+        viewer.init("127.0.0.1", port)
+        try:
+            result = {}
+
+            def client():
+                c = socket.create_connection(("127.0.0.1", port), timeout=240)
+                msg = json.dumps({
+                    "world_view": np.asarray(cam.world_view).tolist(),
+                    "full_proj": np.asarray(cam.full_proj).tolist(),
+                    "width": 32, "height": 32, "time": 0.5,
+                    "do_training": True, "keep_alive": False,
+                }).encode()
+                c.sendall(struct.pack("<I", len(msg)) + msg)
+                (length,) = struct.unpack("<I", c.recv(4))
+                buf = b""
+                while len(buf) < length:
+                    buf += c.recv(length - len(buf))
+                result["img"] = np.frombuffer(buf, np.uint8)
+                c.close()
+
+            t = threading.Thread(target=client)
+            t.start()
+            # poll until the request is answered (accept + render + send)
+            for _ in range(200):
+                _poll_viewer(trainer, state, sh_degree=1)
+                if not t.is_alive():
+                    break
+            t.join(timeout=240)
+            assert "img" in result
+            assert result["img"].size == 32 * 32 * 3
+            assert result["img"].max() > 0     # something rendered
+            # keep_alive=False -> server dropped the connection
+            assert viewer.conn is None
+        finally:
+            viewer.disconnect()
+            if viewer._listener is not None:
+                viewer._listener.close()

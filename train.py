@@ -126,6 +126,16 @@ def main() -> None:
         time_skip=time_skip, view_skip=view_skip,
         single_cam_video=args.single_cam_video,
     )
+    # live viewer socket (the reference's network_gui.init, train.py:439)
+    viewer_enabled = False
+    try:
+        from cloth_splatting_tpu.utils import viewer
+
+        viewer.init(args.ip, args.port)
+        viewer_enabled = True
+    except OSError as exc:
+        print(f"viewer disabled ({exc})")
+
     wandb = None
     if args.use_wandb:
         from cloth_splatting_tpu.utils.logging import WandbAdapter
@@ -143,6 +153,7 @@ def main() -> None:
         three_steps_batch=args.three_steps_batch,
         save_test_images=args.save_test_images,
         wandb=wandb,
+        viewer_enabled=viewer_enabled,
     )
     if wandb is not None:
         wandb.finish()
