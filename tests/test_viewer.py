@@ -69,11 +69,15 @@ class TestViewerPolling:
 
             t = threading.Thread(target=client)
             t.start()
-            # poll until the request is answered (accept + render + send)
-            for _ in range(200):
+            # poll until the request is answered (accept + render + send);
+            # deadline-based — a fixed poll count can finish before the
+            # client thread is even scheduled under load
+            import time
+
+            deadline = time.time() + 300
+            while t.is_alive() and time.time() < deadline:
                 _poll_viewer(trainer, state, sh_degree=1)
-                if not t.is_alive():
-                    break
+                time.sleep(0.02)
             t.join(timeout=240)
             assert "img" in result
             assert result["img"].size == 32 * 32 * 3
