@@ -262,14 +262,38 @@ def load_dnerf_scene(path: str, white_background: bool = True,
 
     rng = np.random.default_rng(seed)
     xyz = rng.random((n_random_points, 3)) * 2.6 - 1.3
-    pcd = PointCloud(xyz, rng.random((n_random_points, 3)),
-                     np.zeros_like(xyz))
+    # Reference convention (dataset_readers.py:424-427): colors =
+    # SH2RGB(rand/255), i.e. near-mid-gray 0.5 +- 0.002 — NOT uniform random.
+    from cloth_splatting_tpu.ops.sh import sh_to_rgb
+
+    colors = np.asarray(sh_to_rgb(rng.random((n_random_points, 3)) / 255.0))
+    pcd = PointCloud(xyz, colors, np.zeros_like(xyz))
     return LegacyScene(train=train, test=test, video=video, point_cloud=pcd,
                        radius=nerfpp_radius([r.camera for r in train]),
                        maxtime=maxtime)
 
 
 # --------------------------------------------------------------------- DyNeRF
+
+
+def _center_poses(poses: np.ndarray) -> np.ndarray:
+    """Recenter c2w poses about their average pose (neural_3D_dataset_NDC.py
+    center_poses/average_poses, :20-85, with blender2opencv = identity as the
+    reference constructs it at :244)."""
+
+    def normalize(v):
+        return v / np.linalg.norm(v)
+
+    center = poses[..., 3].mean(0)
+    z = normalize(poses[..., 2].mean(0))
+    y_ = poses[..., 1].mean(0)
+    x = normalize(np.cross(z, y_))
+    y = np.cross(x, z)
+    pose_avg_homo = np.eye(4)
+    pose_avg_homo[:3] = np.stack([x, y, z, center], 1)
+    last_row = np.tile(np.asarray([0.0, 0.0, 0.0, 1.0]), (len(poses), 1, 1))
+    poses_homo = np.concatenate([poses, last_row], 1)
+    return (np.linalg.inv(pose_avg_homo) @ poses_homo)[:, :3]
 
 
 def load_dynerf_scene(path: str, eval_index: int = 0, downsample: float = 1.0,
@@ -286,6 +310,14 @@ def load_dynerf_scene(path: str, eval_index: int = 0, downsample: float = 1.0,
     # LLFF [down right back] -> [right up back] c2w
     poses = np.concatenate([poses[..., 1:2], -poses[..., :1], poses[..., 2:4]],
                            axis=-1)
+    # Recenter about the average pose, then rescale so the nearest plane sits
+    # at z = 4/3 (load_meta, neural_3D_dataset_NDC.py:273-282: scale_factor =
+    # near_fars.min() * 0.75) — without this the world frame and scale differ
+    # from the reference and densification thresholds/radii diverge.
+    poses = _center_poses(poses)
+    near_fars = poses_arr[:, -2:]
+    scale_factor = float(near_fars.min()) * 0.75
+    poses[..., 3] /= scale_factor
 
     cam_dirs = sorted(d for d in glob.glob(os.path.join(path, "cam*"))
                       if os.path.isdir(d))

@@ -140,21 +140,26 @@ def render_set(
     first = render_one(camera_arrays(cameras[0]))
     jax.block_until_ready(first.rgb)
 
-    # Timed loop accumulates ON DEVICE (the reference's convention times the
-    # render kernels, not the GPU->CPU image downloads, render.py:300-301;
-    # through the TPU tunnel a per-frame 800x800 download costs ~0.5 s and
-    # would measure the link, not the renderer).
-    outs = []
+    # Timed loop stays on device and KEEPS NOTHING (the reference's
+    # convention times the render kernels, not the GPU->CPU image downloads,
+    # render.py:300-301; through the TPU tunnel a per-frame 800x800 download
+    # costs ~0.5 s and would measure the link, not the renderer). Frames are
+    # then re-rendered streaming one at a time for export, so device memory
+    # stays bounded at one RenderOutput regardless of camera count (long
+    # video splits at large Gaussian counts must not accumulate).
+    cam_arrs = [camera_arrays(cam) for cam in cameras]
     t0 = time.time()
-    for cam in cameras:
-        outs.append(render_one(camera_arrays(cam)))
-    jax.block_until_ready(outs[-1].rgb)
+    last = None
+    for ca in cam_arrs:
+        last = render_one(ca)
+    jax.block_until_ready(last.rgb)
     elapsed = time.time() - t0
     fps = (len(cameras) - 1) / max(elapsed, 1e-9)
 
     frames = []
     deform_logs = []
-    for out in outs:
+    for ca in cam_arrs:
+        out = render_one(ca)
         frames.append(np.asarray(jnp.clip(out.rgb, 0, 1)))
         if log_deform or show_flow:
             deform_logs.append({

@@ -23,7 +23,7 @@ from cloth_splatting_tpu.models import gaussians as G
 from cloth_splatting_tpu.ops.image import psnr as psnr_fn
 from cloth_splatting_tpu.render import CameraArrays, camera_arrays, render
 from cloth_splatting_tpu.train.config import Config
-from cloth_splatting_tpu.train.step import SplatTrainState, Trainer
+from cloth_splatting_tpu.train.step import SplatTrainState, StepCarry, Trainer
 from cloth_splatting_tpu.utils.logging import MetricsLogger
 
 
@@ -251,6 +251,14 @@ def train_scene(
     knn_state = None
     knn_capacity = -1
 
+    # Device-resident EMA + overflow accumulator: smoothing stays
+    # per-iteration (reference train.py:182) and k_cap overflow anywhere in
+    # a progress window surfaces at the next tick, all without per-iteration
+    # host fetches (each blocking fetch costs a ~25 ms tunnel round trip).
+    carry = StepCarry.zeros()
+    overflow_ticks = 0
+    K_CAP_MAX = 8192
+
     for iteration in range(first_iter, o.iterations + 1):
         static = o.static_reconst and iteration < o.static_reconst_iteration
 
@@ -282,10 +290,10 @@ def train_scene(
             else:
                 t_ids = list(range(n_times))
 
-        state, metrics = trainer.step_banked(
+        state, metrics, carry = trainer.step_banked(
             state, cam_bank, gt_bank, mask_bank, vi, t_ids,
             sh_degree=sh_degree, static=static,
-            knn_state=knn_state if knn_active else None,
+            knn_state=knn_state if knn_active else None, carry=carry,
         )
 
         key, sub = jax.random.split(key)
@@ -307,18 +315,28 @@ def train_scene(
                       or iteration in test_iterations
                       or on_iteration is not None)
         if need_fetch:
-            m = jax.device_get(metrics)       # ONE round trip for the tuple
+            m, c = jax.device_get((metrics, carry))  # ONE round trip
             loss, psnr = float(m.loss), float(m.psnr)
-            n_dropped, n_alive = int(m.n_dropped), int(m.n_alive)
-            ema_loss = 0.4 * loss + 0.6 * ema_loss
-            ema_psnr = 0.4 * psnr + 0.6 * ema_psnr
+            n_alive = int(m.n_alive)
+            ema_loss, ema_psnr = float(c.ema_loss), float(c.ema_psnr)
+            dropped_window = int(c.drop_accum)
+            carry = carry._replace(drop_accum=jnp.zeros((), jnp.int32))
             # the dense tiled tier truncates per-tile lists at k_cap; that
-            # must never pass silently (the pallas tier has no cap, reports 0)
-            if n_dropped > 0 and iteration % progress_every == 0:
+            # must never pass silently (the pallas tier has no cap, reports
+            # 0). Persistent overflow auto-doubles k_cap (one recompile),
+            # restoring the CUDA tier's uncapped semantics.
+            if dropped_window > 0:
+                overflow_ticks += 1
                 print(f"[iter {iteration}] WARNING: rasterizer dropped "
-                      f"{n_dropped} tile instances (k_cap={o.raster_k_cap} "
-                      f"overflow) — raise opt.raster_k_cap or use the pallas "
-                      f"backend")
+                      f"{dropped_window} tile instances since the last tick "
+                      f"(k_cap={o.raster_k_cap})")
+                if overflow_ticks >= 2 and o.raster_k_cap < K_CAP_MAX:
+                    new_cap = trainer.grow_k_cap()
+                    overflow_ticks = 0
+                    print(f"[iter {iteration}] growing raster_k_cap -> "
+                          f"{new_cap} (recompile)")
+            else:
+                overflow_ticks = 0
         if iteration % progress_every == 0:
             rate = iteration / (time_mod.time() - t_start)
             print(f"[{'static' if static else 'dyn'} {iteration}/{o.iterations}] "

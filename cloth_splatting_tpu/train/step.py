@@ -61,6 +61,22 @@ class StepMetrics(NamedTuple):
     n_dropped: jnp.ndarray
 
 
+class StepCarry(NamedTuple):
+    """Device-resident running statistics threaded through the banked step so
+    per-iteration EMA smoothing and overflow accounting never cost a blocking
+    device->host fetch (the loop only fetches at progress ticks; a k_cap
+    overflow ANYWHERE in the window must still surface — train/loop.py)."""
+
+    ema_loss: jnp.ndarray    # per-iteration 0.4/0.6 EMA (reference train.py:182)
+    ema_psnr: jnp.ndarray
+    drop_accum: jnp.ndarray  # sum of n_dropped since the last fetch tick
+
+    @staticmethod
+    def zeros() -> "StepCarry":
+        return StepCarry(jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+                         jnp.zeros((), jnp.int32))
+
+
 class Trainer:
     """Owns the compiled step programs for one scene."""
 
@@ -139,23 +155,45 @@ class Trainer:
                      gt_bank: jnp.ndarray, mask_bank: jnp.ndarray | None,
                      view_idx: jnp.ndarray, time_ids: jnp.ndarray,
                      sh_degree: int, static: bool, has_masks: bool,
-                     knn_state=None):
+                     knn_state=None, carry: StepCarry | None = None):
         """Step addressing an on-device (view x time) camera/image bank by
         index — the whole sampling+training iteration is one XLA program with
         zero host->device transfer."""
         cams = jax.tree_util.tree_map(lambda a: a[view_idx, time_ids], cam_bank)
         gts = gt_bank[view_idx, time_ids].astype(jnp.float32) / 255.0
         masks = mask_bank[view_idx, time_ids] if has_masks else None
-        return self._step_inner(state, cams, gts, masks, sh_degree, static,
-                                has_masks, knn_state)
+        new_state, metrics = self._step_inner(state, cams, gts, masks,
+                                              sh_degree, static, has_masks,
+                                              knn_state)
+        if carry is None:
+            return new_state, metrics
+        new_carry = StepCarry(
+            ema_loss=0.4 * metrics.loss + 0.6 * carry.ema_loss,
+            ema_psnr=0.4 * metrics.psnr + 0.6 * carry.ema_psnr,
+            drop_accum=carry.drop_accum + metrics.n_dropped.astype(jnp.int32),
+        )
+        return new_state, metrics, new_carry
 
     def step_banked(self, state, cam_bank, gt_bank, mask_bank, view_idx, time_ids,
-                    sh_degree: int, static: bool, knn_state=None):
+                    sh_degree: int, static: bool, knn_state=None, carry=None):
         return self._step_banked(state, cam_bank, gt_bank, mask_bank,
                                  jnp.asarray(view_idx, jnp.int32),
                                  jnp.asarray(time_ids, jnp.int32),
                                  sh_degree, static, mask_bank is not None,
-                                 knn_state)
+                                 knn_state, carry)
+
+    def grow_k_cap(self, factor: int = 2) -> int:
+        """Double the dense tier's per-tile instance cap and drop the stale
+        compiled steps (k_cap is baked into them through ``self``, which jit
+        treats as a static argument — mutating cfg alone would keep serving
+        the old executable). The CUDA tier has no cap at all (SURVEY.md
+        section 2.1 row 1); growth restores that semantics under persistent
+        overflow the same way grow_capacity handles densify overflow."""
+        o = self.cfg.opt
+        o.raster_k_cap = int(o.raster_k_cap * factor)
+        Trainer._step_banked.clear_cache()
+        Trainer._step.clear_cache()
+        return o.raster_k_cap
 
     @functools.partial(jax.jit, static_argnames=("self", "sh_degree", "static", "has_masks"))
     def _step(self, state: SplatTrainState, cams: CameraArrays,
