@@ -18,7 +18,7 @@ FOLDS = {
 }
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Collect scripted fold demos")
     p.add_argument("--out", type=str, default="./sim_datasets/demos")
     p.add_argument("--cloth", choices=sorted(FOLDS), default="TOWEL")
@@ -27,7 +27,7 @@ def main() -> None:
     p.add_argument("--ny", type=int, default=16)
     p.add_argument("--n_steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import numpy as np
 

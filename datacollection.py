@@ -13,7 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Collect cloth sim trajectories")
     p.add_argument("--out", type=str, default="./sim_datasets/train_dataset")
     p.add_argument("--n_trajectories", type=int, default=20)
@@ -22,7 +22,7 @@ def main() -> None:
     p.add_argument("--cloth_size", type=float, default=0.3)
     p.add_argument("--n_steps", type=int, default=25)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from cloth_splatting_tpu.manipulation.collect import collect_dataset
 

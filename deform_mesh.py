@@ -13,7 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Generate randomized deformed cloth meshes")
     p.add_argument("--out", type=str, default="./deformed_meshes")
     p.add_argument("--config", choices=["artf", "clothfunnels"], default="artf")
@@ -24,7 +24,7 @@ def main() -> None:
     p.add_argument("--fold_steps", type=int, default=24)
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from cloth_splatting_tpu.manipulation.deform_mesh import (
         ARTFDeformationConfig,

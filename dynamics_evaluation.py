@@ -13,7 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Evaluate GNN dynamics rollouts")
     p.add_argument("--data_path", type=str, required=True)
     p.add_argument("--meshnet_dir", type=str, required=True)
@@ -21,7 +21,7 @@ def main() -> None:
     p.add_argument("--message_passing", type=int, default=15)
     p.add_argument("--num_samples", type=int, default=200)
     p.add_argument("--out", type=str, default="dynamics_eval.json")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import numpy as np
 

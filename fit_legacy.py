@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Static 3DGS fit on legacy scenes")
     p.add_argument("--source_path", "-s", type=str, required=True)
     p.add_argument("--model_path", "-m", type=str, default="./output/legacy")
@@ -42,7 +42,7 @@ def main() -> None:
                    help="cap on decoded training cameras (memory)")
     p.add_argument("--k_cap", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ def run(cmd: list[str]) -> None:
     subprocess.run(cmd, check=True)
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--data_root", "-d", type=str, required=True)
     p.add_argument("--output_root", "-o", type=str, default="./output")
@@ -34,7 +34,7 @@ def main() -> None:
     p.add_argument("--skip_rendering", action="store_true")
     p.add_argument("--skip_metrics", action="store_true")
     p.add_argument("--view_skip", type=int, default=3)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     py = sys.executable
     for scene in args.scenes:

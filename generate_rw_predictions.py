@@ -42,7 +42,7 @@ def load_rw_capture(path: str) -> dict:
         return {k: f[k][()] for k in f.keys()}
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Real-world GNN rollout -> scene meshes")
     p.add_argument("--data_path", type=str, required=True,
                    help="raw capture (.npz/.h5 or a directory holding one)")
@@ -58,7 +58,7 @@ def main() -> None:
                    help="skip the edge-length-preserving inner optimization")
     p.add_argument("--latent", type=int, default=128)
     p.add_argument("--message_passing", type=int, default=15)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax.numpy as jnp
     import numpy as np

@@ -12,7 +12,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Record + imitate fold demos")
     p.add_argument("--mode", choices=["record", "imitate", "both"], default="both")
     p.add_argument("--demo", type=str, default="./demos/halffold/data.h5")
@@ -23,7 +23,7 @@ def main() -> None:
     p.add_argument("--n_steps", type=int, default=12)
     p.add_argument("--height", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from cloth_splatting_tpu.manipulation.env import ClothEnv
     from cloth_splatting_tpu.manipulation.imitation import (

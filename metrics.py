@@ -92,11 +92,11 @@ def evaluate(model_paths, lpips_weights_path=None):
                         f"LPIPS {res['LPIPS']}\n")
 
 
-def main() -> None:
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="NVS metric evaluation")
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
     parser.add_argument("--lpips_weights", type=str, default=None)
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     evaluate(args.model_paths, args.lpips_weights)
 
 

@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Closed-loop cloth manipulation")
     p.add_argument("--modality", default="mpc-cs",
                    choices=["random", "fixed", "mpc-oracle", "mpc-ol", "mpc-cs"])
@@ -33,7 +33,7 @@ def main() -> None:
     p.add_argument("--message_passing", type=int, default=15)
     p.add_argument("--out_dir", type=str, default="./planning_out")
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import numpy as np
 

@@ -17,7 +17,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="Cloth-Splatting TPU renderer")
     parser.add_argument("--model_path", "-m", type=str, required=True)
     parser.add_argument("--source_path", "-s", type=str, default=None)
@@ -37,7 +37,7 @@ def main() -> None:
     parser.add_argument("--sh_degree", type=int, default=3)
     parser.add_argument("--configs", type=str, default="")
     parser.add_argument("--quiet", action="store_true")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
     # merge saved cfg_args (reference get_combined_args, arguments/__init__.py:176)
     cfg_path = os.path.join(args.model_path, "cfg_args")

@@ -74,7 +74,7 @@ def collect_trajectory(env, pick_kp: int, place_kp: int, height: float,
     return out
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Scripted keypoint fold collection")
     p.add_argument("--dataset_path", type=str, default="./sim_datasets")
     p.add_argument("--dataset_name", type=str, default="scripted")
@@ -89,7 +89,7 @@ def main() -> None:
     p.add_argument("--velocity", type=float, default=2.0)
     p.add_argument("--traj_dt", type=float, default=0.01)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from cloth_splatting_tpu.manipulation.env import ClothEnv
 

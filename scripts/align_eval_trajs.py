@@ -11,7 +11,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--trajs", type=str, required=True,
                    help="all_trajs.npz produced by render.py --log_deform")
@@ -20,7 +20,7 @@ def main() -> None:
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--scale_mm", type=float, default=1000.0,
                    help="unit -> mm conversion for the printed MTE")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     from cloth_splatting_tpu.eval.tracking import evaluate_tracking
 

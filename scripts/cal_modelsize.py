@@ -27,11 +27,11 @@ def scene_size_mb(scene_dir: str) -> float:
     return total / (1024 * 1024)
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--output", type=str, default="./output",
                    help="root containing per-scene experiment directories")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     scene_dirs = sorted(d for d in glob.glob(os.path.join(args.output, "*"))
                         if os.path.isdir(d))

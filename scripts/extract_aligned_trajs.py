@@ -10,12 +10,12 @@ import os
 import numpy as np
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--pattern", type=str, required=True,
                    help="glob of *_aligned.npz files")
     p.add_argument("--out", type=str, default="aligned_summary.csv")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     rows = []
     for path in sorted(glob.glob(args.pattern)):

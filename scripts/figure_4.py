@@ -32,7 +32,7 @@ def project_points(means3d: np.ndarray, full_proj: np.ndarray,
     return np.stack([px, py], axis=1)
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--folder", type=str, required=True,
                    help="render output dir with all_trajs.npz + images/ + pose.json")
@@ -40,7 +40,7 @@ def main() -> None:
     p.add_argument("--n_tracks", type=int, default=200)
     p.add_argument("--tail", type=int, default=8)
     p.add_argument("--out", type=str, default=None)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import imageio.v2 as imageio
 

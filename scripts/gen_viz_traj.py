@@ -54,14 +54,14 @@ def build_traj(data: dict, single_cam: bool = False,
     return traj
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--folder", type=str, required=True,
                    help="scene dir with transforms_test.json")
     p.add_argument("--densify", action="store_true")
     p.add_argument("--single_cam", action="store_true",
                    help="hold the first camera, sweep only time")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     with open(os.path.join(args.folder, "transforms_test.json")) as f:
         data = json.load(f)

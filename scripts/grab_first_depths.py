@@ -10,13 +10,13 @@ import argparse
 import numpy as np
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("-i", "--input", type=str, required=True,
                    help="deform_log_*.npz with a 'depth' array")
     p.add_argument("--out", type=str, default=None,
                    help="optional normalized depth PNG path")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     data = np.load(args.input)
     depth = data["depth"]

@@ -11,7 +11,7 @@ import json
 import os
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--root", type=str, required=True,
                    help="root with <scene>_<lambda>/results.json + *_aligned.npz")
@@ -19,7 +19,7 @@ def main() -> None:
     p.add_argument("--with_reference", action="store_true",
                    help="overlay the published CUDA-reference points "
                         "(scripts/iso_manual_points.py)")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import matplotlib
 

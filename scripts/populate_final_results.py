@@ -11,21 +11,22 @@ import argparse
 import glob
 import os
 import shutil
-import subprocess
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def main() -> None:
+
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--results", type=str, required=True,
                    help="results root with <scene>/gt.npz")
     p.add_argument("--output", type=str, required=True,
                    help="experiment root with <scene>/<test_path>/all_trajs.npz")
     p.add_argument("--test_path", type=str, default="test/ours_8000")
-    p.add_argument("--executable", type=str,
-                   default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                        "align_eval_trajs.py"))
-    args = p.parse_args()
+    args = p.parse_args(argv)
+
+    # in-process (one jax runtime) — the reference shells out per scene
+    from cloth_splatting_tpu.eval.tracking import evaluate_tracking
 
     scene_dirs = sorted(d for d in glob.glob(os.path.join(args.output, "*"))
                         if os.path.isdir(d))
@@ -37,9 +38,8 @@ def main() -> None:
             print(f"skip {scene}: missing {'trajs' if not os.path.exists(traj_path) else 'gt'}")
             continue
         aligned = traj_path.replace(".npz", "_aligned.npz")
-        subprocess.run([sys.executable, args.executable,
-                        "--trajs", traj_path, "--gt", gt_path,
-                        "--out", aligned], check=True)
+        res = evaluate_tracking(traj_path, gt_path, save_aligned=aligned)
+        print(f"{scene}: MTE mean {res['mte_mean'] * 1000.0:.3f} mm")
         out_dir = os.path.join(args.results, scene, "ours")
         if os.path.exists(out_dir):
             shutil.rmtree(out_dir)

@@ -43,12 +43,12 @@ def prune_json(json_name: str, n_frames: int) -> list[str]:
     return dropped
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--dataset", type=str, required=True,
                    help="scene directory with transforms_{train,test}.json")
     p.add_argument("--n_frames", type=int, default=40)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     for split in ("transforms_train.json", "transforms_test.json", "video.json"):
         path = os.path.join(args.dataset, split)

@@ -10,11 +10,11 @@ import os
 import numpy as np
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--root", type=str, default="./output",
                    help="directory containing experiment subdirectories")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     metrics: dict[str, list[float]] = {}
     for path in sorted(glob.glob(os.path.join(args.root, "**", "results.json"),

@@ -12,7 +12,7 @@ import os
 import shutil
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--dirs", type=str, nargs="+", required=True,
                    help="render image dirs, concatenated in order")
@@ -20,7 +20,7 @@ def main() -> None:
     p.add_argument("--pingpong", action="store_true",
                    help="reverse direction on alternate passes")
     p.add_argument("--out", type=str, default="./selected_frames")
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     paths = []
     for d in args.dirs:

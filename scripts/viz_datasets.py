@@ -22,12 +22,12 @@ def frame_order(frames: list[dict]) -> list[int]:
     return [(i * skip) % n for i in range(n)]
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--input", type=str, nargs="+", required=True,
                    help="transforms_*.json files")
     p.add_argument("--fps", type=int, default=10)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import imageio.v2 as imageio
 

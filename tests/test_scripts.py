@@ -1,5 +1,14 @@
-"""Smoke tests for the analysis/figure scripts (reference scripts/ parity)."""
+"""Tests for the analysis/figure scripts (reference scripts/ parity).
 
+All scripts run IN-PROCESS via their ``main(argv)`` entry points — one jax
+runtime, no per-test interpreter + recompile (the old subprocess-per-test
+design made the "fast" tier neither fast nor reliable under suite load).
+One subprocess smoke test remains, marked slow, to cover the shebang path.
+"""
+
+import contextlib
+import importlib
+import io
 import json
 import os
 import subprocess
@@ -10,14 +19,32 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCRIPTS = os.path.join(REPO, "scripts")
-ENV = {**os.environ, "JAX_PLATFORMS": "cpu"}
 
 
-def run(script, *args):
-    # generous timeout: scripts that import jax pay ~30-60 s of cold import
-    # on a loaded CPU host
-    return subprocess.run([sys.executable, os.path.join(SCRIPTS, script), *args],
-                          capture_output=True, text=True, env=ENV, timeout=480)
+def run_script(script, *args):
+    """Import scripts/<script> and call main(argv) in-process; returns
+    captured stdout. Errors propagate as exceptions."""
+    name = script[:-3] if script.endswith(".py") else script
+    sys.path.insert(0, SCRIPTS)
+    try:
+        mod = importlib.import_module(name)
+    finally:
+        sys.path.remove(SCRIPTS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod.main([str(a) for a in args])
+    return buf.getvalue()
+
+
+def run_root_script(script, *args):
+    """Same, for repo-root CLIs."""
+    name = script[:-3] if script.endswith(".py") else script
+    sys.path.insert(0, REPO)
+    mod = importlib.import_module(name)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        mod.main([str(a) for a in args])
+    return buf.getvalue()
 
 
 class TestPruneDataset:
@@ -28,8 +55,7 @@ class TestPruneDataset:
         for split in ("transforms_train.json", "transforms_test.json"):
             with open(tmp_path / split, "w") as f:
                 json.dump(data, f)
-        r = run("prune_dataset.py", "--dataset", str(tmp_path), "--n_frames", "3")
-        assert r.returncode == 0, r.stderr
+        run_script("prune_dataset.py", "--dataset", tmp_path, "--n_frames", 3)
         with open(tmp_path / "transforms_train.json") as f:
             pruned = json.load(f)
         times = sorted({fr["time"] for fr in pruned["frames"]})
@@ -43,10 +69,9 @@ class TestCalModelsize:
         d = tmp_path / "scene_a" / "point_cloud" / "iteration_100"
         os.makedirs(d)
         (d / "point_cloud.ply").write_bytes(b"x" * 2048)
-        r = run("cal_modelsize.py", "--output", str(tmp_path))
-        assert r.returncode == 0, r.stderr
-        assert "scene_a" in r.stdout
-        assert "average size (MB)" in r.stdout
+        out = run_script("cal_modelsize.py", "--output", tmp_path)
+        assert "scene_a" in out
+        assert "average size (MB)" in out
 
 
 class TestFigure4:
@@ -68,8 +93,7 @@ class TestFigure4:
         for t in range(T):
             imageio.imwrite(tmp_path / "images" / f"{t:04d}.png",
                             np.zeros((64, 64, 3), np.uint8))
-        r = run("figure_4.py", "--folder", str(tmp_path), "--n_tracks", "5")
-        assert r.returncode == 0, r.stderr
+        run_script("figure_4.py", "--folder", tmp_path, "--n_tracks", 5)
         outs = os.listdir(tmp_path / "figure_4")
         assert len(outs) == T
 
@@ -89,22 +113,46 @@ class TestVizDatasets:
         assert order[1] - order[0] == 4
 
 
+def _tracking_tree(tmp_path, scene="scene_x"):
+    T, M = 3, 6
+    gt = np.random.default_rng(0).normal(size=(T, M, 3)).astype(np.float32)
+    out_scene = tmp_path / "output" / scene / "test" / "ours_8000"
+    os.makedirs(out_scene)
+    np.savez(out_scene / "all_trajs.npz", traj=gt,
+             rotations=np.tile([1.0, 0, 0, 0], (T, M, 1)).astype(np.float32))
+    res_scene = tmp_path / "results" / scene.rsplit("_", 1)[0] \
+        if scene.rsplit("_", 1)[-1].replace(".", "").isdigit() \
+        else tmp_path / "results" / scene
+    os.makedirs(res_scene, exist_ok=True)
+    np.savez(res_scene / "gt.npz", traj=gt)
+    return res_scene
+
+
 class TestPopulateFinalResults:
     def test_aligns_and_copies(self, tmp_path):
-        T, M = 3, 6
-        gt = np.random.default_rng(0).normal(size=(T, M, 3)).astype(np.float32)
-        out_scene = tmp_path / "output" / "scene_x" / "test" / "ours_8000"
-        os.makedirs(out_scene)
-        np.savez(out_scene / "all_trajs.npz", traj=gt,
-                 rotations=np.tile([1.0, 0, 0, 0], (T, M, 1)).astype(np.float32))
-        res_scene = tmp_path / "results" / "scene_x"
-        os.makedirs(res_scene)
-        np.savez(res_scene / "gt.npz", traj=gt)
-        r = run("populate_final_results.py",
-                "--results", str(tmp_path / "results"),
-                "--output", str(tmp_path / "output"))
-        assert r.returncode == 0, r.stderr
+        res_scene = _tracking_tree(tmp_path, "scene_x")
+        run_script("populate_final_results.py",
+                   "--results", tmp_path / "results",
+                   "--output", tmp_path / "output")
         assert os.path.exists(res_scene / "ours" / "traj.npz")
+
+
+class TestPopulateIsoAblation:
+    def test_aligns_and_copies_per_iso(self, tmp_path):
+        res_scene = _tracking_tree(tmp_path, "towel_flat_0.5")
+        out = run_script("populate_iso_ablation.py",
+                         "--results", tmp_path / "results",
+                         "--output", tmp_path / "output")
+        assert "MTE mean" in out
+        assert os.path.exists(res_scene / "0.5" / "traj.npz")
+
+    def test_skips_non_iso_dirs(self, tmp_path):
+        os.makedirs(tmp_path / "output" / "notiso")
+        os.makedirs(tmp_path / "results")
+        out = run_script("populate_iso_ablation.py",
+                         "--results", tmp_path / "results",
+                         "--output", tmp_path / "output")
+        assert "skip" in out
 
 
 class TestGenVizTraj:
@@ -117,8 +165,7 @@ class TestGenVizTraj:
         data = {"camera_angle_x": 0.7, "frames": frames}
         with open(tmp_path / "transforms_test.json", "w") as f:
             json.dump(data, f)
-        r = run("gen_viz_traj.py", "--folder", str(tmp_path), "--densify")
-        assert r.returncode == 0, r.stderr
+        run_script("gen_viz_traj.py", "--folder", tmp_path, "--densify")
         with open(tmp_path / "video.json") as f:
             traj = json.load(f)
         times = [fr["time"] for fr in traj["frames"]]
@@ -137,8 +184,133 @@ class TestSelectImage:
             imageio.imwrite(src / f"{i:05d}.png",
                             np.full((4, 4, 3), i * 20, np.uint8))
         out = tmp_path / "sel"
-        r = run("select_image.py", "--dirs", str(src), "--stride", "3",
-                "--pingpong", "--out", str(out))
-        assert r.returncode == 0, r.stderr
+        run_script("select_image.py", "--dirs", src, "--stride", 3,
+                   "--pingpong", "--out", out)
         files = sorted(os.listdir(out))
         assert len(files) == 4 + 3          # [0,3,6,9] + [6,3,0]
+
+
+class TestVizDeforms:
+    def test_from_all_trajs(self, tmp_path):
+        T, P = 4, 30
+        trajs = np.cumsum(np.random.default_rng(0).normal(
+            0, 0.02, (T, P, 3)), axis=0).astype(np.float32)
+        np.savez(tmp_path / "all_trajs.npz", traj=trajs)
+        out = tmp_path / "plot.png"
+        run_script("viz_deforms.py", "--dir", tmp_path / "all_trajs.npz",
+                   "--slice", 2, "--out", out)
+        assert os.path.exists(out)
+
+    def test_from_deform_logs_sorted(self, tmp_path):
+        for t in range(3):
+            np.savez(tmp_path / f"deform_log_{t:03d}.npz",
+                     means3D_deform=np.full((5, 3), float(t), np.float32))
+        sys.path.insert(0, SCRIPTS)
+        try:
+            from viz_deforms import load_trajs
+        finally:
+            sys.path.remove(SCRIPTS)
+        trajs = load_trajs(str(tmp_path))
+        assert trajs.shape == (3, 5, 3)
+        assert np.all(trajs[1] == 1.0)      # time order preserved
+
+    def test_z_max_filter_and_animation(self, tmp_path):
+        T, P = 3, 8
+        trajs = np.zeros((T, P, 3), np.float32)
+        trajs[:, ::2, 2] = 5.0              # half above z_max
+        np.savez(tmp_path / "all_trajs.npz", traj=trajs)
+        out = tmp_path / "anim.png"
+        run_script("viz_deforms.py", "--dir", tmp_path / "all_trajs.npz",
+                   "--slice", 1, "--z_max", 1.0, "--animation", "--out", out)
+        assert os.path.exists(out)
+        assert os.path.exists(tmp_path / "anim.gif")
+
+
+class TestVizFlow:
+    def test_writes_debug_panels(self, tmp_path):
+        import imageio.v2 as imageio
+        h = w = 32
+        os.makedirs(tmp_path / "frames")
+        paths = []
+        for t in range(3):
+            p = f"frames/{t:02d}.png"
+            imageio.imwrite(tmp_path / p,
+                            np.full((h, w, 3), t * 40, np.uint8))
+            paths.append(p)
+        flow = np.zeros((2, h, w, 2), np.float32)
+        flow[..., 0] = 3.0                   # uniform rightward flow
+        np.savez(tmp_path / "flow.npz", img_paths=np.asarray(paths),
+                 flow=flow)
+        run_script("viz_flow.py", "-i", tmp_path / "flow.npz",
+                   "--dir", tmp_path)
+        outs = sorted(os.listdir(tmp_path / "debug_imgs"))
+        assert len(outs) == 2
+        img = imageio.imread(tmp_path / "debug_imgs" / outs[0])
+        assert img.shape[1] == 2 * w         # side-by-side panel
+
+
+class TestColormap:
+    def test_matches_reference_palette(self):
+        from cloth_splatting_tpu.utils.colormap import colormap, voc_palette
+        # 256 VOC entries minus the 4 grayscale rows (reference
+        # utils/colormap.py keeps exactly these 252)
+        assert colormap.shape == (252, 3)
+        np.testing.assert_allclose(colormap[0], [128 / 255, 0, 0])
+        np.testing.assert_allclose(colormap[1], [0, 128 / 255, 0])
+        np.testing.assert_allclose(colormap[5], [0, 128 / 255, 128 / 255])
+        assert not np.any((colormap[:, 0] == colormap[:, 1])
+                          & (colormap[:, 1] == colormap[:, 2]))
+        pal = voc_palette(8)
+        np.testing.assert_allclose(pal[7], [128 / 255] * 3)
+
+
+class TestFlowColorWheel:
+    def test_wheel_and_image(self):
+        from cloth_splatting_tpu.eval.flow_viz import (
+            flow_to_image,
+            make_color_wheel,
+        )
+        wheel = make_color_wheel()
+        assert wheel.shape == (55, 3)
+        np.testing.assert_allclose(wheel[0], [1, 0, 0])   # starts at red
+        flow = np.zeros((8, 8, 2), np.float32)
+        flow[:, :, 0] = 1.0
+        img = flow_to_image(flow)
+        assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+        # zero-flow pixels map to (near) white
+        img0 = flow_to_image(np.zeros((4, 4, 2), np.float32))
+        assert img0.min() >= 254
+
+
+class TestKeypointInspection:
+    def test_writes_annotated_first_frames(self, tmp_path):
+        from cloth_splatting_tpu.manipulation.collect import collect_dataset
+
+        root = tmp_path / "sim"
+        collect_dataset(str(root), n_trajectories=1, nx=5, ny=5, n_steps=4,
+                        seed=0)
+        out = tmp_path / "figs"
+        run_root_script("keypoint_inspection.py", "--dataset", root,
+                        "--out", out)
+        written = []
+        for base, _, files in os.walk(out):
+            written += [os.path.join(base, f) for f in files]
+        assert any(f.endswith("img_0.png") for f in written)
+
+
+@pytest.mark.slow
+class TestSubprocessSmoke:
+    """One true subprocess run to cover the shebang/`python scripts/x.py`
+    path; everything else runs in-process above."""
+
+    def test_cal_modelsize_subprocess(self, tmp_path):
+        d = tmp_path / "scene_a" / "point_cloud" / "iteration_100"
+        os.makedirs(d)
+        (d / "point_cloud.ply").write_bytes(b"x" * 2048)
+        r = subprocess.run(
+            [sys.executable, os.path.join(SCRIPTS, "cal_modelsize.py"),
+             "--output", str(tmp_path)],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"}, timeout=480)
+        assert r.returncode == 0, r.stderr
+        assert "scene_a" in r.stdout

@@ -16,7 +16,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser(description="Time-conditioned mesh GNN trainer")
     p.add_argument("--mode", choices=["train", "rollout"], default="train")
     p.add_argument("--data_path", type=str, required=True,
@@ -37,7 +37,7 @@ def main() -> None:
     p.add_argument("--num_samples", type=int, default=300)
     p.add_argument("--subsample", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp

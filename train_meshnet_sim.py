@@ -53,8 +53,8 @@ def build_parser():
     return p
 
 
-def main() -> None:
-    args = build_parser().parse_args()
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
 
     import numpy as np
 
