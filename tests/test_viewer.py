@@ -88,3 +88,72 @@ class TestViewerPolling:
             viewer.disconnect()
             if viewer._listener is not None:
                 viewer._listener.close()
+
+
+class TestSibrCodec:
+    """The reference SIBR byte protocol (network_gui.py:43-86), exercised
+    against hand-built frames — no sockets needed for the codec itself."""
+
+    def _message(self, w=64, h=48):
+        wv = np.arange(16, dtype=np.float32)
+        vp = np.arange(16, 32, dtype=np.float32)
+        return {
+            "resolution_x": w, "resolution_y": h, "train": True,
+            "fov_y": 0.8, "fov_x": 0.8, "z_near": 0.01, "z_far": 100.0,
+            "shs_python": False, "rot_scale_python": False,
+            "keep_alive": False, "scaling_modifier": 0.5,
+            "view_matrix": wv.tolist(),
+            "view_projection_matrix": vp.tolist(),
+        }
+
+    def test_decode_applies_sign_flips(self):
+        cam, do_training, keep_alive, scaling = viewer.decode_sibr_message(
+            self._message())
+        assert cam["width"] == 64 and cam["height"] == 48
+        assert do_training is True and keep_alive is False
+        assert scaling == 0.5
+        wv = np.asarray(cam["world_view"])
+        raw = np.arange(16, dtype=np.float32).reshape(4, 4)
+        # columns 1,2 sign-flipped (network_gui.py:75-76)
+        np.testing.assert_allclose(wv[:, 0], raw[:, 0])
+        np.testing.assert_allclose(wv[:, 1], -raw[:, 1])
+        np.testing.assert_allclose(wv[:, 2], -raw[:, 2])
+        np.testing.assert_allclose(wv[:, 3], raw[:, 3])
+        fp = np.asarray(cam["full_proj"])
+        raw_p = np.arange(16, 32, dtype=np.float32).reshape(4, 4)
+        np.testing.assert_allclose(fp[:, 1], -raw_p[:, 1])
+        np.testing.assert_allclose(fp[:, 2], raw_p[:, 2])
+
+    def test_decode_zero_resolution_is_no_camera(self):
+        msg = self._message(w=0, h=0)
+        cam, *_ = viewer.decode_sibr_message(msg)
+        assert cam is None
+
+    def test_encode_reply_frame(self):
+        img = bytes(range(12))
+        frame = viewer.encode_sibr_reply(img, "/data/scene")
+        # raw image (NOT length-prefixed), then LE length + ascii verify
+        assert frame[:12] == img
+        (n,) = struct.unpack("<I", frame[12:16])
+        assert n == len("/data/scene")
+        assert frame[16:] == b"/data/scene"
+
+    def test_socket_roundtrip_sibr(self):
+        """receive()/send() over a real socket pair with protocol='sibr'."""
+        server, client = socket.socketpair()
+        old_conn, old_proto = viewer.conn, viewer.protocol
+        viewer.conn, viewer.protocol = server, "sibr"
+        try:
+            body = json.dumps(self._message()).encode()
+            client.sendall(struct.pack("<I", len(body)) + body)
+            cam, do_training, keep_alive, scaling = viewer.receive()
+            assert cam is not None and cam["width"] == 64
+            viewer.send(b"\x01\x02\x03", source_path="src")
+            reply = client.recv(64)
+            assert reply[:3] == b"\x01\x02\x03"
+            (n,) = struct.unpack("<I", reply[3:7])
+            assert reply[7:7 + n] == b"src"
+        finally:
+            viewer.conn, viewer.protocol = old_conn, old_proto
+            server.close()
+            client.close()

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                 parser.add_argument(*args, default=None, type=type(f.default))
     parser.add_argument("--ip", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--protocol", type=str, default="json",
+                        choices=["json", "sibr"],
+                        help="viewer wire protocol: framework JSON codec or "
+                             "the reference's SIBR byte protocol")
     parser.add_argument("--debug_from", type=int, default=-1)
     parser.add_argument("--detect_anomaly", action="store_true")
     parser.add_argument("--test_iterations", nargs="+", type=int,
@@ -83,9 +87,9 @@ def config_from_args(args) -> "Config":
     return cfg
 
 
-def main() -> None:
+def main(argv=None) -> None:
     parser = build_parser()
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
     cfg = config_from_args(args)
 
     from cloth_splatting_tpu.data.scene import load_cloth_scene
@@ -131,7 +135,7 @@ def main() -> None:
     try:
         from cloth_splatting_tpu.utils import viewer
 
-        viewer.init(args.ip, args.port)
+        viewer.init(args.ip, args.port, wire_protocol=args.protocol)
         viewer_enabled = True
     except OSError as exc:
         print(f"viewer disabled ({exc})")
