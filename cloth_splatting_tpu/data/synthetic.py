@@ -129,26 +129,50 @@ def generate_synthetic_scene(
     ])
     np.savez(os.path.join(out_dir, "gt.npz"), traj=xyz_t)
 
-    bg = jnp.ones(3) if white_background else jnp.zeros(3)
+    # Straight (non-premultiplied) RGBA, the NeRF-synthetic/Blender
+    # convention the loader expects: render on BLACK to get the
+    # premultiplied foreground P = sum(c a T), store P/alpha + alpha so
+    # decode_image's composite  (P/alpha)*alpha + (1-alpha)*bg  reproduces
+    # the true bg composite exactly (up to uint8). Storing an
+    # already-composited RGB here double-composites at every
+    # semi-transparent pixel and caps achievable PSNR at ~37 dB — measured
+    # by scripts/parity_diag.py rendering the TRUE parameters.
     cam0 = orbit_camera(0, n_views, fov, image_size, image_size, 0.0)
+    black = jnp.zeros(3)
 
     @jax.jit
-    def render_frame(cam_arr, verts):
-        return render(cam_arr, image_size, image_size, cam0.tanfovx,
-                      cam0.tanfovy, params, state, rest_mesh, None, None, bg,
-                      3, render_static=True, override_vertices=verts,
-                      k_cap=256, k_chunk=16)
+    def render_time(cam_bank, verts):
+        # all views of one timestep as ONE program + ONE uint8 fetch: the
+        # TPU tunnel costs ~25 ms/dispatch and ~0.5 s per f32 frame download
+        def one(cam_arr):
+            out = render(cam_arr, image_size, image_size, cam0.tanfovx,
+                         cam0.tanfovy, params, state, rest_mesh, None, None,
+                         black, 3, render_static=True,
+                         override_vertices=verts, k_cap=256, k_chunk=16)
+            prem = jnp.clip(out.rgb, 0, 1)
+            alpha_f = jnp.clip(out.alpha[0], 0, 1)
+            straight = jnp.clip(prem / jnp.maximum(alpha_f, 1e-4)[None], 0, 1)
+            rgba = jnp.concatenate([straight, alpha_f[None]], axis=0)
+            return jnp.round(rgba * 255).astype(jnp.uint8)     # [4, H, W]
 
+        return jax.lax.map(one, cam_bank)
+
+    cams_by_time = [
+        [orbit_camera(vi, n_views, fov, image_size, image_size, float(t))
+         for vi in range(n_views)]
+        for t in times
+    ]
     frames_train, frames_test = [], []
     for ti, t in enumerate(times):
         verts = jnp.asarray(traj[ti])
+        arrs = [camera_arrays(c) for c in cams_by_time[ti]]
+        from cloth_splatting_tpu.render import CameraArrays
+        bank = CameraArrays(*[jnp.stack([getattr(a, f) for a in arrs])
+                              for f in CameraArrays._fields])
+        rgba_all = np.asarray(render_time(bank, verts))        # [V, 4, H, W]
         for vi in range(n_views):
-            cam = orbit_camera(vi, n_views, fov, image_size, image_size, float(t))
-            out = render_frame(camera_arrays(cam), verts)
-            img = np.asarray(jnp.clip(out.rgb, 0, 1) * 255).astype(np.uint8)
-            img = img.transpose(1, 2, 0)
-            alpha = np.asarray(jnp.clip(out.alpha[0], 0, 1) * 255).astype(np.uint8)
-            rgba = np.concatenate([img, alpha[..., None]], axis=-1)
+            cam = cams_by_time[ti][vi]
+            rgba = rgba_all[vi].transpose(1, 2, 0)             # [H, W, 4]
             split = "test" if vi in test_views else "train"
             sub = os.path.join(out_dir, split)
             os.makedirs(sub, exist_ok=True)
