@@ -91,6 +91,156 @@ def make_sharded_splat_step(trainer, mesh: Mesh, sh_degree: int, static: bool):
     return jax.jit(step, static_argnums=())
 
 
+def splat_state_specs(state) -> "jax.tree_util.PyTreeDef":
+    """PartitionSpec tree for a SplatTrainState: capacity-leading leaves on
+    'model', everything else replicated (the shard_splat_state layout)."""
+    cap = state.params.face_bary.shape[0]
+
+    def spec(leaf):
+        if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+            return P("model")
+        return P()
+
+    return jax.tree_util.tree_map(spec, state)
+
+
+def make_pallas_sharded_splat_step(trainer, mesh: Mesh, sh_degree: int,
+                                   static: bool, state_template):
+    """The sharded train step over the PALLAS rasterizer tiers.
+
+    ``pallas_call`` cannot be auto-partitioned by GSPMD, so this step is an
+    explicit ``shard_map`` over the (data, model) mesh with the collective
+    structure spelled out:
+
+      * per-Gaussian work (barycentric gather, SH eval, covariance, EWA
+        projection, Adam moments) runs on each device's LOCAL capacity
+        shard;
+      * the projected screen-space bundle is all-gathered over 'model'
+        (render.py ``gather_axis``) so each device's Pallas compositor sees
+        every Gaussian for its LOCAL camera shard;
+      * autodiff transposes that gather into a reduce-scatter, landing
+        per-shard Gaussian gradients on their owners; camera-batch gradients
+        are ``psum``-ed over 'data' (pure DP);
+      * the replicated simulator params see a 'data'-psum only (every model
+        column computes an identical contribution from identical cameras).
+
+    Numerics match the unsharded pallas step (tests/test_parallel.py).
+    kNN regularizers are not supported on this path (their neighborhoods are
+    capacity-global); use the GSPMD tiled step for kNN-regularized configs.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from cloth_splatting_tpu.models import gaussians as G
+    from cloth_splatting_tpu.ops.image import psnr
+    from cloth_splatting_tpu.render import RenderOutput, render
+    from cloth_splatting_tpu.train.losses import image_losses, regularization
+    from cloth_splatting_tpu.train.step import SplatTrainState, StepMetrics
+
+    o = trainer.cfg.opt
+    d_rows, m_cols = mesh.devices.shape
+    # Every device scales its local loss by 1/(D*M): the M model columns of
+    # a data row render identical cameras against the same gathered bundle,
+    # so the all-gather's transpose (psum-scatter over 'model') sums M
+    # copies of each Gaussian-shard cotangent — the 1/M makes that sum the
+    # true gradient; the 1/D makes the 'data' psum the camera mean.
+    scale = float(d_rows * m_cols)
+
+    def local_step(state, cams, gt_images):
+        cap = state.params.face_bary.shape[0]       # LOCAL capacity shard
+
+        def loss_fn(params, sim_params, screen_offset):
+            def render_one(cam):
+                return render(
+                    cam, trainer.width, trainer.height, trainer.tanfovx,
+                    trainer.tanfovy, params, state.gstate, trainer.mesh,
+                    sim_params, trainer.mesh_predictions, trainer.bg_color,
+                    sh_degree, screen_offset=screen_offset,
+                    render_static=static, k_cap=o.raster_k_cap,
+                    k_chunk=o.raster_k_chunk, backend="pallas",
+                    bg_static=trainer.bg_static, gather_axis="model",
+                )
+
+            outs: RenderOutput = jax.lax.map(render_one, cams)
+            images = outs.rgb
+            img_loss, ldict = image_losses(images, gt_images,
+                                           o.lambda_dssim, None)
+            # the consecutive-frame regularizers pair vertices ACROSS the
+            # camera batch, so they need the full [B, V, 3] stack: gather
+            # over 'data' (tiny — V*3 floats/cam), compute the global term
+            # identically on every device
+            verts_full = jax.lax.all_gather(outs.vertices, "data",
+                                            tiled=True)
+            reg = regularization(verts_full, trainer.mesh,
+                                 o.lambda_deform_mag, o.lambda_rigid,
+                                 o.lambda_momentum, static)
+            local = (img_loss + reg) / scale
+            aux = {
+                "psnr": jnp.mean(psnr(images, gt_images)) / scale,
+                "l1": ldict["l1"] / scale,
+                "radii": jnp.max(outs.radii, axis=0),            # [C_local]
+                "visibility": jnp.any(outs.visibility, axis=0),
+                "n_dropped": jnp.sum(outs.n_dropped),
+            }
+            return local, aux
+
+        screen_offset = jnp.zeros((cap, 2), jnp.float32)
+        (local_loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, state.sim_params, screen_offset)
+        g_grads, sim_grads, screen_grad = grads
+
+        # Gaussian-shard grads: the model-axis sum already happened inside
+        # the gather transpose; only the camera rows remain
+        g_grads = jax.lax.psum(g_grads, "data")
+        screen_grad = jax.lax.psum(screen_grad, "data")
+        # replicated quantities: every device holds a 1/(D*M) share
+        loss = jax.lax.psum(local_loss, ("data", "model"))
+        sim_grads = jax.lax.psum(sim_grads, ("data", "model"))
+        psnr_v = jax.lax.psum(aux["psnr"], ("data", "model"))
+        l1 = jax.lax.psum(aux["l1"], ("data", "model"))
+        radii = jax.lax.pmax(aux["radii"], "data")
+        visibility = jax.lax.pmax(aux["visibility"].astype(jnp.int32),
+                                  "data") > 0
+        n_dropped = jax.lax.psum(aux["n_dropped"], ("data", "model"))
+
+        xy_grad_norm = jnp.linalg.norm(screen_grad, axis=-1)
+        gstate = G.add_densification_stats(state.gstate, xy_grad_norm,
+                                           radii, visibility)
+
+        g_updates, g_opt = trainer.g_tx.update(g_grads, state.g_opt,
+                                               state.params)
+        lr_tree = trainer._lr_tree(state.step)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u, lr: p - lr * u, state.params, g_updates, lr_tree)
+
+        sim_updates, sim_opt = trainer.sim_tx.update(sim_grads,
+                                                     state.sim_opt,
+                                                     state.sim_params)
+        if static:
+            new_sim = state.sim_params
+            sim_opt = state.sim_opt
+        else:
+            new_sim = jax.tree_util.tree_map(
+                lambda p, u: p - trainer.cfg.meshnet.lr_init * u,
+                state.sim_params, sim_updates)
+
+        new_state = SplatTrainState(new_params, gstate, g_opt, new_sim,
+                                    sim_opt, state.step + 1)
+        n_alive = jax.lax.psum(G.num_alive(gstate), "model")
+        metrics = StepMetrics(loss=loss, psnr=psnr_v, l1=l1,
+                              n_alive=n_alive, n_dropped=n_dropped)
+        return new_state, metrics
+
+    specs = splat_state_specs(state_template)
+    mapped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(specs, P("data"), P("data")),
+        out_specs=(specs, P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
 def make_sharded_meshnet_step(trainer, mesh: Mesh, future: int):
     """GNN train step with the batch sharded over the whole mesh (pure DP:
     per-sample message passing is independent until the loss/grad psum)."""

@@ -85,11 +85,21 @@ def render(
     k_chunk: int = 32,
     backend: str = "tiled",
     bg_static: tuple[float, float, float] | None = None,
+    gather_axis: str | None = None,
 ) -> RenderOutput:
     """Render one camera. ``sh_degree`` is the ACTIVE degree (static int).
 
     ``override_vertices`` renders the Gaussians at explicitly given deformed
     vertices (bypassing the simulator) — used by dataset synthesis and eval.
+
+    ``gather_axis`` supports running under ``shard_map`` with the Gaussian
+    capacity sharded over a mesh axis: all per-Gaussian work (barycentric
+    gather, SH, EWA projection) runs on the LOCAL capacity shard, then the
+    projected screen-space bundle is ``lax.all_gather``-ed over that axis so
+    the tile compositor sees every Gaussian. On the backward pass the
+    gather transposes to a reduce-scatter, landing each shard's gradients
+    back on its owner device. The per-Gaussian output fields (radii,
+    visibility, means3d, rotations, projections) stay LOCAL-shard sized.
     """
     if override_vertices is not None:
         vertices = override_vertices
@@ -128,6 +138,13 @@ def render(
         scale = jnp.asarray([width / 2.0, height / 2.0], dtype=proj.xy.dtype)
         proj = proj._replace(xy=proj.xy + screen_offset * scale)
 
+    proj_full = proj
+    if gather_axis is not None:
+        import jax
+
+        proj_full = jax.tree_util.tree_map(
+            lambda x: jax.lax.all_gather(x, gather_axis, tiled=True), proj)
+
     if backend == "pallas_fwd":
         # Forward-only serving Pallas tier: no k_cap, exact depth ordering,
         # no VJP bookkeeping — the fastest path for eval/video rendering.
@@ -140,7 +157,7 @@ def render(
         if bg_static is None:
             raise ValueError("backend='pallas_fwd' requires bg_static")
         rgb, depth, alpha, _ = rasterize_pallas(
-            proj, width, height, bg_static,
+            proj_full, width, height, bg_static,
             interpret=jax.default_backend() == "cpu",
         )
         n_dropped = jnp.zeros((), jnp.int32)
@@ -156,13 +173,13 @@ def render(
         if bg_static is None:
             raise ValueError("backend='pallas' requires bg_static")
         rgb, depth, alpha = rasterize_pallas_grad(
-            proj, width, height, bg_static,
+            proj_full, width, height, bg_static,
             interpret=jax.default_backend() == "cpu",
         )
         n_dropped = jnp.zeros((), jnp.int32)
     else:
         rgb, depth, alpha, aux = rasterize_tiled(
-            proj, width, height, bg_color, k_cap=k_cap, k_chunk=k_chunk
+            proj_full, width, height, bg_color, k_cap=k_cap, k_chunk=k_chunk
         )
         n_dropped = aux.n_dropped
 

@@ -254,3 +254,136 @@ class TestSceneParallel:
         for s in range(n_scenes):
             np.testing.assert_allclose(
                 np.asarray(per_scene[s].step), np.asarray(seq[s][0].step))
+
+
+class TestShardedPallasStep:
+    """The Pallas custom-VJP rasterizer under the device mesh via shard_map
+    (parallel/mesh.py make_pallas_sharded_splat_step): per-device pallas_call
+    over a model-axis all-gathered projection bundle, reduce-scatter on the
+    backward, data-axis psum for the camera batch. interpret=True runs the
+    kernels on the virtual CPU mesh."""
+
+    def _setup(self):
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        cfg.opt.raster_backend = "pallas"
+        trainer = Trainer(cfg, mesh, preds, cam.width, cam.height,
+                          cam.tanfovx, cam.tanfovy, spatial_lr_scale=2.0)
+        assert trainer.backend == "pallas"
+        state0 = trainer.init_state(np.random.default_rng(0), params, gstate,
+                                    sim_params)
+        cams = _cam_batch(cam, 4)
+        gts = jnp.full((4, 3, cam.height, cam.width), 0.5, jnp.float32)
+        return trainer, state0, cams, gts
+
+    def test_matches_unsharded_pallas(self):
+        from cloth_splatting_tpu.parallel.mesh import (
+            make_pallas_sharded_splat_step,
+        )
+
+        trainer, state0, cams, gts = self._setup()
+        ref_state, ref_metrics = trainer.step(state0, cams, gts, None,
+                                              sh_degree=1, static=False)
+
+        dmesh = make_mesh(8)
+        sstate = shard_splat_state(state0, dmesh)
+        scams = shard_batch(cams, dmesh)
+        sgts = shard_batch(gts, dmesh)
+        step = make_pallas_sharded_splat_step(trainer, dmesh, sh_degree=1,
+                                              static=False,
+                                              state_template=state0)
+        new_state, metrics = step(sstate, scams, sgts)
+        jax.block_until_ready(metrics.loss)
+
+        np.testing.assert_allclose(float(metrics.loss),
+                                   float(ref_metrics.loss), rtol=1e-4)
+        np.testing.assert_allclose(float(metrics.psnr),
+                                   float(ref_metrics.psnr), rtol=1e-4)
+        assert int(metrics.n_alive) == int(ref_metrics.n_alive)
+        np.testing.assert_allclose(np.asarray(new_state.params.face_bary),
+                                   np.asarray(ref_state.params.face_bary),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(new_state.gstate.grad_accum),
+                                   np.asarray(ref_state.gstate.grad_accum),
+                                   rtol=1e-3, atol=1e-7)
+        # Simulator MLP: ~21% of its grads are exactly-zero-up-to-noise
+        # (vertices outside every rendered pixel), where first-step Adam's
+        # update is +-lr * sign(noise) — the psum reduction order flips
+        # those signs. Bound: every element within 2 lr steps, and the
+        # meaningfully-updated bulk matches tightly.
+        lr = trainer.cfg.meshnet.lr_init
+        diff = np.abs(np.asarray(new_state.sim_params.w_out)
+                      - np.asarray(ref_state.sim_params.w_out))
+        assert diff.max() <= 2.05 * lr
+        assert np.mean(diff < 5e-5) > 0.7
+
+    def test_training_progress_sharded_pallas(self):
+        from cloth_splatting_tpu.parallel.mesh import (
+            make_pallas_sharded_splat_step,
+        )
+
+        trainer, state0, cams, gts = self._setup()
+        dmesh = make_mesh(8)
+        state = shard_splat_state(state0, dmesh)
+        scams = shard_batch(cams, dmesh)
+        sgts = shard_batch(gts, dmesh)
+        step = make_pallas_sharded_splat_step(trainer, dmesh, sh_degree=1,
+                                              static=False,
+                                              state_template=state0)
+        losses = []
+        for _ in range(4):
+            state, metrics = step(state, scams, sgts)
+            losses.append(float(metrics.loss))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+
+class TestCollectiveStructure:
+    """Pin the collective structure in the compiled HLO so GSPMD placement
+    regressions are caught without multi-chip hardware (VERDICT r1 item 9)."""
+
+    def test_pallas_shard_map_hlo_collectives(self):
+        from cloth_splatting_tpu.parallel.mesh import (
+            make_pallas_sharded_splat_step,
+            shard_batch as sb,
+        )
+
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        cfg.opt.raster_backend = "pallas"
+        trainer = Trainer(cfg, mesh, preds, cam.width, cam.height,
+                          cam.tanfovx, cam.tanfovy, spatial_lr_scale=2.0)
+        state0 = trainer.init_state(np.random.default_rng(0), params, gstate,
+                                    sim_params)
+        dmesh = make_mesh(8)
+        sstate = shard_splat_state(state0, dmesh)
+        cams = sb(_cam_batch(cam, 4), dmesh)
+        gts = sb(jnp.zeros((4, 3, cam.height, cam.width), jnp.float32), dmesh)
+        step = make_pallas_sharded_splat_step(trainer, dmesh, sh_degree=1,
+                                              static=False,
+                                              state_template=state0)
+        hlo = step.lower(sstate, cams, gts).compile().as_text()
+        # forward: projection bundle gathered over 'model' into the
+        # compositor
+        assert "all-gather" in hlo
+        # backward: the gather's transpose (reduce-scatter) + the data-axis
+        # grad psum (all-reduce); XLA may fuse the scatter into an
+        # all-reduce+dynamic-slice, so accept either spelling
+        assert ("reduce-scatter" in hlo) or ("all-reduce" in hlo)
+        assert "all-reduce" in hlo
+
+    def test_gspmd_tiled_hlo_collectives(self):
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        trainer = Trainer(cfg, mesh, preds, cam.width, cam.height,
+                          cam.tanfovx, cam.tanfovy, spatial_lr_scale=2.0)
+        state0 = trainer.init_state(np.random.default_rng(0), params, gstate,
+                                    sim_params)
+        dmesh = make_mesh(8)
+        sstate = shard_splat_state(state0, dmesh)
+        cams = shard_batch(_cam_batch(cam, 4), dmesh)
+        gts = shard_batch(jnp.zeros((4, 3, cam.height, cam.width),
+                                    jnp.float32), dmesh)
+        step = make_sharded_splat_step(trainer, dmesh, sh_degree=1,
+                                       static=False)
+        with dmesh:
+            hlo = step.lower(sstate, cams, gts).compile().as_text()
+        assert "all-gather" in hlo or "all-to-all" in hlo
+        assert "all-reduce" in hlo or "reduce-scatter" in hlo
