@@ -93,10 +93,15 @@ def measure_fps(res: int, n_views: int = 40, width: int = 800,
 
 
 def measure_train_iters(width: int = 800, height: int = 800,
-                        n_iters: int = 20) -> float:
+                        n_iters: int = 20, mesh_res: int = 32,
+                        capacity: int = 4096) -> float:
     """Full splat train step (3-camera batch, value_and_grad through the
     Pallas custom-VJP rasterizer, dual Adam, density stats) — the reference
-    pipeline's other headline number (BASELINE.json: train iters/sec)."""
+    pipeline's other headline number (BASELINE.json: train iters/sec).
+
+    ``mesh_res`` sets the alive Gaussian count (2 per face = 4*res^2):
+    res 32 -> 4k (toy), res 78 -> 24.3k (where the realistic parity run
+    densifies to), res 128 -> 65.5k (serving headline scale)."""
     import dataclasses
 
     import jax
@@ -111,13 +116,13 @@ def measure_train_iters(width: int = 800, height: int = 800,
     from cloth_splatting_tpu.train.step import Trainer
 
     fov = 2 * np.arctan(0.4)
-    mesh = grid_cloth_mesh(32, 32, size=1.4)
+    mesh = grid_cloth_mesh(mesh_res, mesh_res, size=1.4)
     cfg = Config()
     trainer = Trainer(cfg, mesh, jnp.tile(mesh.pos[None], (3, 1, 1)),
                       width, height, np.tan(fov / 2), np.tan(fov / 2), 2.0)
     rng = np.random.default_rng(0)
     params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2,
-                                      capacity=4096)
+                                      capacity=capacity)
     state = trainer.init_state(rng, params, gstate)
     cam = Camera.create(R=np.eye(3), t=np.asarray([0.0, 0.0, 3.0]),
                         fovx=fov, fovy=fov, width=width, height=height,
@@ -149,6 +154,11 @@ def main() -> None:
     fps_16k = measure_fps(64) if all_scales else None
     fps_65k = measure_fps(128)
     train_ips = measure_train_iters()
+    # realistic capacities: 24k alive = where the parity run densifies to,
+    # 65k = the serving headline scale (VERDICT r1: the toy-capacity number
+    # alone overstates realistic training throughput)
+    train_ips_24k = measure_train_iters(mesh_res=78, capacity=32768)
+    train_ips_65k = measure_train_iters(mesh_res=128, capacity=65536)
 
     result = {
         "metric": "render_fps_800x800_65k_gaussians",
@@ -156,6 +166,8 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(fps_65k / BASELINE_FPS, 4),
         "train_iters_per_sec_800x800": round(train_ips, 2),
+        "train_iters_per_sec_24k_gaussians": round(train_ips_24k, 2),
+        "train_iters_per_sec_65k_gaussians": round(train_ips_65k, 2),
     }
     if all_scales:
         result["fps_4k_gaussians"] = round(fps_4k, 2)

@@ -1,23 +1,32 @@
 """Differentiable Pallas rasterization (custom VJP) — the training tier.
 
-Forward = the serving kernel (sort-binned exact-depth instance lists,
-vectorized compositing; pallas_tiled.py). Backward = a second Pallas kernel
-that re-materializes each tile's compositing walk in REVERSE chunk order and
-emits analytic gradients for every instance, matching the CUDA rasterizer's
-backward contract (grads to means2D/conic/color/opacity, SURVEY.md
-section 2.1 row 1; reference gaussian_renderer/__init__.py:49-53 retains the
-viewspace mean2D gradient for density control — here that arrives through
-the xy cotangent).
+Forward = the serving compositing walk (sort-binned exact-depth instance
+lists, vectorized chunks; pallas_tiled.py) extended to WRITE the running
+transmittance at every chunk boundary to HBM. Backward = ONE Pallas kernel
+that walks each tile's chunks in REVERSE order, re-deriving exact
+front-to-back T inside each chunk from its saved boundary (T_i = T_boundary
+* exclusive-cumprod — products only, no divisions), and emits analytic
+gradients for every instance, matching the CUDA rasterizer's backward
+contract (grads to means2D/conic/color/opacity, SURVEY.md section 2.1 row 1;
+reference gaussian_renderer/__init__.py:49-53 retains the viewspace mean2D
+gradient for density control — here that arrives through the xy cotangent).
+
+History: the first backward design re-derived T back-to-front by dividing
+through prod(1 - alpha), which EXPLODES in fp32 once a chunk stacks >6
+near-opaque instances (observed as NaN training loss at ~15k Gaussians); the
+second design fixed that with a division-free TWO-sweep forward walk costing
+~16% extra. The saved boundaries give the best of both: a single reverse
+sweep, division-free, AND the forward's transmittance early-exit now prunes
+the backward too (chunks the forward never started have no gradient, the
+same truncation the CUDA kernel applies via its last-contributor index).
 
 Backward math per tile (out_c = sum_i c_i a_i T_i + bg_c T_N):
     dL/dc_i   = g_c w_i
     dL/da_i   = u_i T_i + (K - S_i) / (1 - a_i)
         u_i = sum_c g_c c_i        (per-pixel-instance "color dot grad")
-        S_i = sum_{j>i} u_j w_j    (suffix, reverse lane cumsum + carry)
+        S_i = sum_{j>i} u_j w_j    (suffix: in-chunk reverse prefix + a
+                                    cross-chunk carry accumulated back-to-front)
         K   = (g_acc - sum_c g_c bg_c) T_N
-    T_i is re-derived chunk-locally: T_chunk_start = T_chunk_end /
-    incl[last] (alpha <= 0.99 keeps the division conditioned; the CUDA
-    backward uses the same back-to-front division).
 
 Per-instance reductions over pixels collapse into TWO MXU matmuls per
 chunk: color/depth grads are g4^T @ w, and all conic/xy/opacity grads are
@@ -50,6 +59,7 @@ from cloth_splatting_tpu.ops.projection import (
 from cloth_splatting_tpu.ops.rasterize.pallas_tiled import (
     CHUNK,
     PACK16,
+    TRANS_EPS,
     PackedTiles,
     raster_forward_tiles,
     sorted_pack,
@@ -59,11 +69,203 @@ from cloth_splatting_tpu.ops.rasterize.pallas_tiled import (
 GCH = 8  # grad-image channels: g_r g_g g_b g_dep g_acc acc_fwd pad pad
 
 
+def chunk_layout(packed: PackedTiles, n_tiles: int):
+    """Per-tile chunk-boundary offsets into the flat boundary buffer.
+
+    Tile i's walk covers chunks [astart_i/CHUNK, ceil((start_i+count_i)/
+    CHUNK)); consecutive tiles overlap by at most one chunk, so the flat
+    total is bounded by B_pad/CHUNK + n_tiles (static)."""
+    astart = (packed.starts // CHUNK) * CHUNK
+    n_chunks = (packed.starts - astart + packed.counts + CHUNK - 1) // CHUNK
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_chunks).astype(jnp.int32)]
+    )[:-1]
+    bound = packed.rows16.shape[1] // CHUNK + n_tiles
+    return offsets, bound
+
+
+# --------------------------------------------------------------- forward
+
+def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
+    """Serving compositing walk + transmittance-boundary writes."""
+    p = tile_size * tile_size
+
+    def kernel(start_ref, count_ref, off_ref, rows16_hbm, tb_in_hbm, out_ref,
+               tb_hbm, buf, tscr, sem, tsem):
+        del tb_in_hbm  # zero-initialized alias of tb_hbm
+        i = pl.program_id(0)
+        ox = (i % tw) * tile_size
+        oy = (i // tw) * tile_size
+        pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+        px = (ox + pidx % tile_size).astype(jnp.float32)
+        py = (oy + pidx // tile_size).astype(jnp.float32)
+
+        start = start_ref[i]
+        count = count_ref[i]
+        off = off_ref[i]
+        astart = (start // CHUNK) * CHUNK
+        n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
+
+        def get_dma(slot, chunk_idx):
+            c0 = astart + chunk_idx * CHUNK
+            return pltpu.make_async_copy(
+                rows16_hbm.at[:, pl.ds(c0, CHUNK)], buf.at[slot], sem.at[slot])
+
+        def put_tb(slot, chunk_idx):
+            return pltpu.make_async_copy(
+                tscr.at[slot], tb_hbm.at[off + chunk_idx], tsem.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        def chunk_body(state):
+            ci, trans, acc = state
+
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                get_dma((ci + 1) % 2, ci + 1).start()
+
+            # boundary BEFORE this chunk (T at chunk start); wait on the
+            # slot's previous flight before overwriting the scratch
+            @pl.when(ci >= 2)
+            def _():
+                put_tb(ci % 2, ci - 2).wait()
+
+            tscr[ci % 2] = trans
+            put_tb(ci % 2, ci).start()
+
+            get_dma(ci % 2, ci).wait()
+            blk = buf[ci % 2]                                # [16, CHUNK]
+
+            gx = blk[0:1, :]
+            gy = blk[1:2, :]
+            ca = blk[2:3, :]
+            cb = blk[3:4, :]
+            cc = blk[4:5, :]
+            op = blk[8:9, :]
+            cut = blk[10:11, :]
+
+            pos = astart + ci * CHUNK + lane
+            live = (pos >= start) & (pos < start + count)
+
+            dx = px - gx
+            dy = py - gy
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+            alpha = jnp.where(
+                (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live),
+                0.0, alpha)
+
+            incl = 1.0 - alpha
+            s = 1
+            while s < CHUNK:
+                shifted = jnp.where(lane >= s, pltpu.roll(incl, s, 1), 1.0)
+                incl = incl * shifted
+                s *= 2
+            excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
+
+            w = alpha * excl * trans
+            chans = jnp.concatenate(
+                [blk[5:8, :], blk[9:10, :], jnp.ones((1, CHUNK), jnp.float32)],
+                axis=0)
+            acc = acc + jax.lax.dot_general(
+                chans, w, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            trans = trans * incl[:, CHUNK - 1:CHUNK]
+            return (ci + 1, trans, acc)
+
+        def chunk_cond(state):
+            ci, trans = state[0], state[1]
+            return (ci < n_chunks) & (jnp.max(trans) > TRANS_EPS)
+
+        ci_end, trans, acc = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (0, jnp.ones((p, 1), jnp.float32), jnp.zeros((5, p), jnp.float32)))
+
+        # drain in-flight DMAs (early exit can leave the prefetched chunk
+        # and the last boundary puts unresolved)
+        @pl.when((ci_end < n_chunks) & (n_chunks > 0))
+        def _():
+            get_dma(ci_end % 2, ci_end).wait()
+
+        @pl.when(ci_end >= 2)
+        def _():
+            put_tb(ci_end % 2, ci_end - 2).wait()
+
+        @pl.when(ci_end >= 1)
+        def _():
+            put_tb((ci_end - 1) % 2, ci_end - 1).wait()
+
+        alpha_img = acc[4:5, :]
+        t_final = 1.0 - alpha_img
+        out_ref[0] = jnp.concatenate(
+            [acc[0:1, :] + t_final * bg[0],
+             acc[1:2, :] + t_final * bg[1],
+             acc[2:3, :] + t_final * bg[2],
+             acc[3:4, :], alpha_img,
+             jnp.zeros((3, p), jnp.float32)], axis=0)
+
+    return kernel
+
+
+def raster_forward_train(packed: PackedTiles, width: int, height: int,
+                         tile_size: int, bg: tuple[float, float, float],
+                         interpret: bool):
+    """Forward walk that also records per-chunk transmittance boundaries.
+
+    Returns (out_t [n_tiles, 8, p], tbounds [max_chunks, p, 1]); boundaries
+    of chunks the walk never started stay zero (their instances contribute
+    < TRANS_EPS and the backward skips them, matching the truncation)."""
+    tw, th = width // tile_size, height // tile_size
+    n_tiles = tw * th
+    p = tile_size * tile_size
+    offsets, bound = chunk_layout(packed, n_tiles)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # rows16
+            pl.BlockSpec(memory_space=pl.ANY),                 # tbounds alias
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),                 # tbounds
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, p, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    tb_zeros = jnp.zeros((bound, p, 1), jnp.float32)
+    out_t, tbounds = pl.pallas_call(
+        _fwd_train_kernel(tile_size, tw, bg),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 8, p), jnp.float32),
+            jax.ShapeDtypeStruct((bound, p, 1), jnp.float32),
+        ],
+        # inputs incl. 3 scalar-prefetch args: rows16 is 3, tb_zeros is 4
+        input_output_aliases={4: 1},
+        interpret=interpret,
+    )(packed.starts, packed.counts, offsets, packed.rows16, tb_zeros)
+    return out_t, tbounds
+
+
+# --------------------------------------------------------------- backward
+
 def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
     p = tile_size * tile_size
 
-    def kernel(start_ref, count_ref, rows16_hbm, gimg_ref, grads_in_hbm,
-               grads_hbm, buf, gout, sem, osem):
+    def kernel(start_ref, count_ref, off_ref, rows16_hbm, gimg_ref, tb_hbm,
+               grads_in_hbm, grads_hbm, buf, tbuf, gout, sem, tbsem, osem):
         # grads_in_hbm is the zero-initialized alias of grads_hbm; all
         # traffic goes through the output ref (same memory)
         del grads_in_hbm
@@ -78,6 +280,7 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
 
         start = start_ref[i]
         count = count_ref[i]
+        off = off_ref[i]
         astart = (start // CHUNK) * CHUNK
         n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
 
@@ -89,7 +292,6 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
         t_fin = 1.0 - gimg_ref[0, :, 5:6]                   # T_N = 1 - acc
         kk = (g_a - (g_r * bg[0] + g_g * bg[1] + g_b * bg[2])) * t_fin
         g4 = gimg_ref[0, :, 0:4]                            # [p, 4]
-        # pixel polynomial basis for the moment matmul
         p6 = jnp.concatenate(
             [jnp.ones((p, 1), jnp.float32), px, py, px * px, px * py, py * py],
             axis=1)                                         # [p, 6]
@@ -98,6 +300,10 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             c0 = astart + chunk_idx * CHUNK
             return pltpu.make_async_copy(
                 rows16_hbm.at[:, pl.ds(c0, CHUNK)], buf.at[slot], sem.at[slot])
+
+        def get_tb(slot, chunk_idx):
+            return pltpu.make_async_copy(
+                tb_hbm.at[off + chunk_idx], tbuf.at[slot], tbsem.at[slot])
 
         def put_dma(slot, chunk_idx):
             c0 = astart + chunk_idx * CHUNK
@@ -111,8 +317,28 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        def chunk_alpha(blk, ci):
-            """Shared per-chunk compositing quantities (both sweeps)."""
+        # single REVERSE sweep: k = 0..n_chunks-1 processes ci = last..0
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, n_chunks - 1).start()
+            get_tb(0, n_chunks - 1).start()
+
+        def sweep(k, s_carry):
+            ci = n_chunks - 1 - k
+
+            @pl.when(ci >= 1)
+            def _():
+                get_dma((k + 1) % 2, ci - 1).start()
+                get_tb((k + 1) % 2, ci - 1).start()
+
+            get_dma(k % 2, ci).wait()
+            get_tb(k % 2, ci).wait()
+            blk = buf[k % 2]
+            t_start = tbuf[k % 2]                           # [p, 1]
+            # boundary all-zero <=> the forward's early exit never started
+            # this chunk: its instances contributed < TRANS_EPS, skip
+            started = jnp.max(t_start) > 0.0
+
             gx = blk[0:1, :] - ox                           # tile-local
             gy = blk[1:2, :] - oy
             ca = blk[2:3, :]
@@ -138,66 +364,11 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
                 incl = incl * shifted
                 sh *= 2
             excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
-            return (gx, gy, ca, cb, cc, expp, a_raw, clamped, alpha, dead,
-                    live, incl, excl)
 
-        def chunk_u(blk):
-            return (g_r * blk[5:6, :] + g_g * blk[6:7, :] + g_b * blk[7:8, :]
-                    + g_d * blk[9:10, :])                   # [p, CHUNK]
-
-        # ------------------------------------------------------ sweep 1
-        # Front-to-back transmittance walk (products only — the previous
-        # back-to-front design divided T back up through prod(1 - alpha),
-        # which EXPLODES in fp32 once a chunk stacks >6 near-opaque
-        # instances; observed as NaN training loss at ~15k Gaussians).
-        # This sweep accumulates Total = sum_j u_j w_j per pixel so sweep 2
-        # can form the suffix S_i = Total - Prefix_i with no division.
-
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, 0).start()
-
-        def sweep1(ci, carry):
-            t_run, total_uw = carry
-
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                get_dma((ci + 1) % 2, ci + 1).start()
-
-            get_dma(ci % 2, ci).wait()
-            blk = buf[ci % 2]
-            (_, _, _, _, _, _, _, _, alpha, _, _, incl,
-             excl) = chunk_alpha(blk, ci)
-            w = alpha * (t_run * excl)
-            total_uw = total_uw + jnp.sum(chunk_u(blk) * w, axis=1,
-                                          keepdims=True)
-            return (t_run * incl[:, CHUNK - 1:CHUNK], total_uw)
-
-        _, total_uw = jax.lax.fori_loop(
-            0, n_chunks, sweep1,
-            (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)))
-
-        # ------------------------------------------------------ sweep 2
-        # Same walk again, emitting gradients with exact front-to-back T.
-
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, 0).start()
-
-        def sweep2(ci, carry):
-            t_run, prefix_base = carry
-
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                get_dma((ci + 1) % 2, ci + 1).start()
-
-            get_dma(ci % 2, ci).wait()
-            blk = buf[ci % 2]
-            (gx, gy, ca, cb, cc, expp, a_raw, clamped, alpha, dead, live,
-             incl, excl) = chunk_alpha(blk, ci)
-            t_i = t_run * excl                              # [p, CHUNK]
+            t_i = t_start * excl                            # [p, CHUNK] exact
             w = alpha * t_i
-            u = chunk_u(blk)
+            u = (g_r * blk[5:6, :] + g_g * blk[6:7, :] + g_b * blk[7:8, :]
+                 + g_d * blk[9:10, :])                      # [p, CHUNK]
             uw = u * w
 
             # inclusive forward prefix of uw along the lane axis
@@ -206,7 +377,9 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             while sh < CHUNK:
                 cum = cum + jnp.where(lane >= sh, pltpu.roll(cum, sh, 1), 0.0)
                 sh *= 2
-            suffix = total_uw - (prefix_base + cum)         # S_i, j > i
+            chunk_total = cum[:, CHUNK - 1:CHUNK]           # [p, 1]
+            # S_i = (later lanes in this chunk) + (all later chunks)
+            suffix = (chunk_total - cum) + s_carry
 
             dl_da = u * t_i + (kk - suffix) / jnp.maximum(1.0 - alpha, 1e-3)
             grad_gate = dead | clamped
@@ -230,14 +403,13 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             m20 = mom[3:4, :]
             m11 = mom[4:5, :]
             m02 = mom[5:6, :]
-            # sum dpow*dx^a dy^b from raw moments (dx = px - gx)
             sdx = m10 - gx * m00
             sdy = m01 - gy * m00
             sdx2 = m20 - 2.0 * gx * m10 + gx * gx * m00
             sdy2 = m02 - 2.0 * gy * m01 + gy * gy * m00
             sdxdy = m11 - gy * m10 - gx * m01 + gx * gy * m00
 
-            dgx = ca * sdx + cb * sdy      # d power/d gx = ca dx + cb dy
+            dgx = ca * sdx + cb * sdy
             dgy = cc * sdy + cb * sdx
             dca = -0.5 * sdx2
             dcb = -sdxdy
@@ -250,57 +422,60 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
                  zero, zero, zero, zero, zero, zero], axis=0)  # [16, CHUNK]
             gblk = jnp.where(live, gblk, 0.0)
 
-            # first (lowest-address) chunk may share rows with the previous
-            # tile's tail: read what it wrote, accumulate, write back
-            oslot = ci % 2
+            oslot = k % 2
+            # lowest-address chunk may share rows with the previous tile's
+            # tail (flushed earlier — the grid is sequential): accumulate
             is_boundary = (ci == 0) & (astart < start)
 
-            @pl.when(is_boundary)
+            @pl.when(started & is_boundary)
             def _():
                 read_back_dma(oslot, ci).start()
                 read_back_dma(oslot, ci).wait()
                 gout[oslot] = gout[oslot] + gblk
 
-            @pl.when(~is_boundary)
+            @pl.when(started & ~is_boundary)
             def _():
                 gout[oslot] = gblk
 
-            put_dma(oslot, ci).start()
-            put_dma(oslot, ci).wait()
+            @pl.when(started)
+            def _():
+                put_dma(oslot, ci).start()
+                put_dma(oslot, ci).wait()
 
-            prefix_base = prefix_base + jnp.sum(uw, axis=1, keepdims=True)
-            return (t_run * incl[:, CHUNK - 1:CHUNK], prefix_base)
+            return s_carry + jnp.where(started, chunk_total, 0.0)
 
-        jax.lax.fori_loop(
-            0, n_chunks, sweep2,
-            (jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32)))
+        jax.lax.fori_loop(0, n_chunks, sweep, jnp.zeros((p, 1), jnp.float32))
 
     return kernel
 
 
-def _run_backward(packed: PackedTiles, gimg_t: jnp.ndarray, width: int,
-                  height: int, tile_size: int,
-                  bg: tuple[float, float, float],
+def _run_backward(packed: PackedTiles, gimg_t: jnp.ndarray,
+                  tbounds: jnp.ndarray, width: int, height: int,
+                  tile_size: int, bg: tuple[float, float, float],
                   interpret: bool) -> jnp.ndarray:
     """Returns per-instance grads, param-major [16, B_pad]."""
     tw, th = width // tile_size, height // tile_size
     n_tiles = tw * th
     p = tile_size * tile_size
     b_pad = packed.rows16.shape[1]
+    offsets, _ = chunk_layout(packed, n_tiles)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                 # rows16
             pl.BlockSpec((1, p, GCH), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # grad images
+            pl.BlockSpec(memory_space=pl.ANY),                 # tbounds
             pl.BlockSpec(memory_space=pl.ANY),                 # grads in/out
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+            pltpu.VMEM((2, p, 1), jnp.float32),
             pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -312,10 +487,11 @@ def _run_backward(packed: PackedTiles, gimg_t: jnp.ndarray, width: int,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((PACK16, b_pad), jnp.float32)],
         # aliases index ALL inputs incl. scalar-prefetch: the zeros buffer
-        # (input 4) IS the output, so untouched regions stay zero
-        input_output_aliases={4: 0},
+        # (input 6) IS the output, so untouched regions stay zero
+        input_output_aliases={6: 0},
         interpret=interpret,
-    )(packed.starts, packed.counts, packed.rows16, gimg_t, zeros)
+    )(packed.starts, packed.counts, offsets, packed.rows16, gimg_t, tbounds,
+      zeros)
     return grads16
 
 
@@ -357,22 +533,22 @@ def make_pallas_renderer(width: int, height: int,
     def fwd(xy, depth, conic, color, opacity, valid, power_cut, radius):
         packed = _pack(xy, depth, conic, color, opacity, valid, power_cut,
                        radius)
-        out_t = raster_forward_tiles(packed, width, height, tile_size,
-                                     bg_static, interpret)
+        out_t, tbounds = raster_forward_train(packed, width, height,
+                                              tile_size, bg_static, interpret)
         images = tiles_to_images(out_t, width, height, tile_size)
         n = xy.shape[0]
         acc = images[2]
-        return images, (packed, acc, n)
+        return images, (packed, acc, tbounds, n)
 
     def bwd(res, cots):
-        packed, acc, n = res
+        packed, acc, tbounds, n = res
         g_rgb, g_dep, g_acc = cots
         gimg = jnp.concatenate(
             [g_rgb, g_dep, g_acc, acc,
              jnp.zeros((GCH - 6, height, width), jnp.float32)], axis=0)
         gimg_t = _images_to_tiles(gimg, width, height, tile_size)
-        grads16 = _run_backward(packed, gimg_t, width, height, tile_size,
-                                bg_static, interpret)
+        grads16 = _run_backward(packed, gimg_t, tbounds, width, height,
+                                tile_size, bg_static, interpret)
         # reduce instances -> gaussians (sentinel id n catches dead slots)
         per_inst = grads16.T                                  # [B_pad, 16]
         per_gauss = jax.ops.segment_sum(
@@ -402,7 +578,7 @@ def rasterize_pallas_grad(proj: ProjectedGaussians, width: int, height: int,
     ``tile_size=None`` auto-selects like the serving tier (32px tiles for
     frames >= 512px): at training scale the tile grid is sparsely occupied,
     so the 4x fewer per-tile programs dominate the extra per-pixel work in
-    BOTH the forward and the re-materializing backward kernel.
+    BOTH the forward and the reverse-sweep backward kernel.
     """
     if tile_size is None:
         tile_size = 32 if (width % 32 == 0 and height % 32 == 0

@@ -195,3 +195,26 @@ class TestLpipsFixture:
         d_big = float(lpips_jax.lpips(w1, img, img + 0.2 * noise)[0])
         assert d0 < 1e-6
         assert 0 < d_small < d_big
+
+
+class TestLpipsFixtureGolden:
+    """Pin exact fixture-LPIPS values so the metric is stable across
+    releases: fixture numbers are self-consistent (comparable run-to-run in
+    THIS framework) but NOT comparable to published VGG-LPIPS — that needs
+    the offline exporter (scripts/export_lpips_weights.py; README scoping)."""
+
+    def test_golden_values(self):
+        import jax.numpy as jnp
+
+        from cloth_splatting_tpu.eval import lpips_jax
+
+        w = lpips_jax.fixture_weights()
+        rng = np.random.default_rng(42)
+        a = jnp.asarray(rng.uniform(0, 1, (1, 3, 32, 32)), jnp.float32)
+        b = jnp.asarray(rng.uniform(0, 1, (1, 3, 32, 32)), jnp.float32)
+        np.testing.assert_allclose(float(lpips_jax.lpips(w, a, b)[0]),
+                                   0.019195334985852240, rtol=1e-4)
+        c = jnp.zeros((1, 3, 32, 32), jnp.float32)
+        d = jnp.ones((1, 3, 32, 32), jnp.float32)
+        np.testing.assert_allclose(float(lpips_jax.lpips(w, c, d)[0]),
+                                   0.027712207287549973, rtol=1e-4)
