@@ -181,7 +181,10 @@ def test_registry_names_match_reference():
 @pytest.mark.slow
 class TestFitLegacyCLI:
     def test_blender_fit_end_to_end(self, tmp_path):
-        import subprocess
+        """In-process main(argv) — one jax runtime, no interpreter spawn
+        (the old subprocess form was the suite's recurring contention
+        flake)."""
+        import importlib
         import sys
 
         from cloth_splatting_tpu.data.synthetic import generate_synthetic_scene
@@ -189,13 +192,11 @@ class TestFitLegacyCLI:
         out = str(tmp_path / "out")
         generate_synthetic_scene(scene, n_views=4, n_times=2, image_size=48)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        r = subprocess.run(
-            [sys.executable, os.path.join(repo, "fit_legacy.py"),
-             "-s", scene, "-m", out, "--type", "Blender", "-w",
-             "--iterations", "30", "--sh_degree", "1", "--k_cap", "64"],
-            capture_output=True, text=True, timeout=1200,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"})
-        assert r.returncode == 0, r.stderr[-2000:]
+        sys.path.insert(0, repo)
+        fit_legacy = importlib.import_module("fit_legacy")
+        fit_legacy.main(["-s", scene, "-m", out, "--type", "Blender", "-w",
+                         "--iterations", "30", "--sh_degree", "1",
+                         "--k_cap", "64"])
         assert os.path.exists(os.path.join(out, "point_cloud.ply"))
         with open(os.path.join(out, "results.json")) as f:
             res = json.load(f)

@@ -299,3 +299,39 @@ class TestSingleCameraRegime:
                             on_iteration=lambda it, m: seen_batches.append(m))
         assert len(seen_batches) == 12
         assert all(np.isfinite(m["loss"]) for m in seen_batches)
+
+
+@pytest.mark.slow
+class TestKCapAutoGrow:
+    """Persistent dense-tier k_cap overflow must auto-double the cap and
+    keep training (the CUDA tier has no cap at all; report-only warnings
+    let overflow pass once the log scrolls by). Slow: every growth re-jits
+    the banked step."""
+
+    def test_overflow_grows_cap_and_converges(self, tmp_path, capsys):
+        from cloth_splatting_tpu.data.scene import load_cloth_scene
+        from cloth_splatting_tpu.data.synthetic import generate_synthetic_scene
+        from cloth_splatting_tpu.train.config import Config
+        from cloth_splatting_tpu.train.loop import train_scene
+
+        scene_dir = str(tmp_path / "scene")
+        generate_synthetic_scene(scene_dir, n_views=3, n_times=3,
+                                 image_size=32, mesh_res=8)
+        scene = load_cloth_scene(scene_dir)
+        cfg = Config()
+        cfg.model.source_path = scene_dir
+        cfg.model.model_path = str(tmp_path / "out")
+        cfg.opt.iterations = 20
+        cfg.opt.static_reconst_iteration = 25    # stay in the static stage
+        cfg.opt.raster_backend = "tiled"
+        # 8x8-res mesh -> 256 alive Gaussians over a 2x2 tile grid: a cap
+        # of 4 overflows massively on every step
+        cfg.opt.raster_k_cap = 4
+        cfg.opt.raster_k_chunk = 4
+        losses = []
+        train_scene(cfg, scene, cfg.model.model_path, progress_every=4,
+                    on_iteration=lambda it, m: losses.append(m["loss"]))
+        out = capsys.readouterr().out
+        assert "growing raster_k_cap" in out
+        assert cfg.opt.raster_k_cap > 4          # doubled at least once
+        assert all(np.isfinite(l) for l in losses)
