@@ -38,7 +38,7 @@ def run(script, *args, env=None):
     return r.stdout
 
 
-def main() -> None:
+def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", type=str, default="/tmp/parity_bench")
     p.add_argument("--image_size", type=int, default=800)
@@ -51,7 +51,10 @@ def main() -> None:
     p.add_argument("--iterations", type=int, default=2000)
     p.add_argument("--static", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args()
+    p.add_argument("--train_args", type=str, default="",
+                   help="extra args appended to the train.py call, e.g. "
+                        "'--densify_until_iter 6000 --sh_degree 2'")
+    args = p.parse_args(argv)
 
     scene = os.path.join(args.workdir, "scene")
     exp = os.path.join(args.workdir, "exp")
@@ -69,7 +72,8 @@ def main() -> None:
         "--iterations", args.iterations,
         "--static_reconst_iteration", args.static,
         "--test_iterations", args.iterations,
-        "--save_iterations", args.iterations, "--quiet")
+        "--save_iterations", args.iterations, "--quiet",
+        *args.train_args.split())
     # test split only: the train-split render doubles the wall time (each
     # 800x800 compile + per-frame dispatch is minutes through the tunnel)
     # and contributes nothing to the metric triple
