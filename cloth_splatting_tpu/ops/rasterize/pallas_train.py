@@ -20,6 +20,19 @@ sweep, division-free, AND the forward's transmittance early-exit now prunes
 the backward too (chunks the forward never started have no gradient, the
 same truncation the CUDA kernel applies via its last-contributor index).
 
+Boundary storage is GROUP-PACKED for Mosaic's DMA alignment rules: a per-
+chunk [p, 1] column can't be DMA'd (trailing size-1 lane dim — Mosaic
+requires lane slices aligned to 128), and lane<->sublane transposes inside
+the kernel aren't supported either. Instead, 128 consecutive chunk
+boundaries share one [p, 128] block (lane = flat chunk index mod 128), held
+in persistent VMEM scratch across the sequential tile grid and flushed as a
+single aligned DMA when the walk crosses a group edge. The flat chunk index
+(per-tile offsets from ``chunk_layout``) is monotone over the whole grid, so
+each group is flushed exactly once; the backward caches the current group
+block and extracts a column with a lane-masked reduce — every op involved
+(lane broadcast, lane-masked select, lane reduction, [p, 128] DMA) is
+already load-bearing elsewhere in these kernels.
+
 Backward math per tile (out_c = sum_i c_i a_i T_i + bg_c T_N):
     dL/dc_i   = g_c w_i
     dL/da_i   = u_i T_i + (K - S_i) / (1 - a_i)
@@ -70,7 +83,7 @@ GCH = 8  # grad-image channels: g_r g_g g_b g_dep g_acc acc_fwd pad pad
 
 
 def chunk_layout(packed: PackedTiles, n_tiles: int):
-    """Per-tile chunk-boundary offsets into the flat boundary buffer.
+    """Per-tile chunk-boundary offsets into the flat boundary index space.
 
     Tile i's walk covers chunks [astart_i/CHUNK, ceil((start_i+count_i)/
     CHUNK)); consecutive tiles overlap by at most one chunk, so the flat
@@ -86,12 +99,14 @@ def chunk_layout(packed: PackedTiles, n_tiles: int):
 
 # --------------------------------------------------------------- forward
 
-def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
-    """Serving compositing walk + transmittance-boundary writes."""
+def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
+                      n_programs: int):
+    """Serving compositing walk + group-packed transmittance-boundary
+    writes (boundary of flat chunk f lands in group f//128, lane f%128)."""
     p = tile_size * tile_size
 
     def kernel(start_ref, count_ref, off_ref, rows16_hbm, tb_in_hbm, out_ref,
-               tb_hbm, buf, tscr, sem, tsem):
+               tb_hbm, buf, gscr, sem, fsem, cur):
         del tb_in_hbm  # zero-initialized alias of tb_hbm
         i = pl.program_id(0)
         ox = (i % tw) * tile_size
@@ -106,14 +121,20 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
         astart = (start // CHUNK) * CHUNK
         n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
 
+        @pl.when(i == 0)
+        def _():
+            gscr[...] = jnp.zeros((p, CHUNK), jnp.float32)
+            cur[0] = 0
+
         def get_dma(slot, chunk_idx):
             c0 = astart + chunk_idx * CHUNK
             return pltpu.make_async_copy(
                 rows16_hbm.at[:, pl.ds(c0, CHUNK)], buf.at[slot], sem.at[slot])
 
-        def put_tb(slot, chunk_idx):
-            return pltpu.make_async_copy(
-                tscr.at[slot], tb_hbm.at[off + chunk_idx], tsem.at[slot])
+        def flush_group(g):
+            dma = pltpu.make_async_copy(gscr, tb_hbm.at[g], fsem.at[0])
+            dma.start()
+            dma.wait()
 
         @pl.when(n_chunks > 0)
         def _():
@@ -128,14 +149,20 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             def _():
                 get_dma((ci + 1) % 2, ci + 1).start()
 
-            # boundary BEFORE this chunk (T at chunk start); wait on the
-            # slot's previous flight before overwriting the scratch
-            @pl.when(ci >= 2)
-            def _():
-                put_tb(ci % 2, ci - 2).wait()
+            # record T at this chunk's start into its group slot; crossing
+            # into a new group flushes the finished one (flat index is
+            # monotone across the whole sequential grid)
+            f = off + ci
+            g = f // CHUNK
+            l = f % CHUNK
 
-            tscr[ci % 2] = trans
-            put_tb(ci % 2, ci).start()
+            @pl.when(g != cur[0])
+            def _():
+                flush_group(cur[0])
+                gscr[...] = jnp.zeros((p, CHUNK), jnp.float32)
+                cur[0] = g
+
+            gscr[...] = jnp.where(lane == l, trans, gscr[...])
 
             get_dma(ci % 2, ci).wait()
             blk = buf[ci % 2]                                # [16, CHUNK]
@@ -186,19 +213,15 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             chunk_cond, chunk_body,
             (0, jnp.ones((p, 1), jnp.float32), jnp.zeros((5, p), jnp.float32)))
 
-        # drain in-flight DMAs (early exit can leave the prefetched chunk
-        # and the last boundary puts unresolved)
+        # drain the prefetched chunk an early exit can leave in flight
         @pl.when((ci_end < n_chunks) & (n_chunks > 0))
         def _():
             get_dma(ci_end % 2, ci_end).wait()
 
-        @pl.when(ci_end >= 2)
+        # last program flushes the in-progress group
+        @pl.when(i == n_programs - 1)
         def _():
-            put_tb(ci_end % 2, ci_end - 2).wait()
-
-        @pl.when(ci_end >= 1)
-        def _():
-            put_tb((ci_end - 1) % 2, ci_end - 1).wait()
+            flush_group(cur[0])
 
         alpha_img = acc[4:5, :]
         t_final = 1.0 - alpha_img
@@ -217,13 +240,16 @@ def raster_forward_train(packed: PackedTiles, width: int, height: int,
                          interpret: bool):
     """Forward walk that also records per-chunk transmittance boundaries.
 
-    Returns (out_t [n_tiles, 8, p], tbounds [max_chunks, p, 1]); boundaries
-    of chunks the walk never started stay zero (their instances contribute
-    < TRANS_EPS and the backward skips them, matching the truncation)."""
+    Returns (out_t [n_tiles, 8, p], tbounds [n_groups, p, 128]) where the
+    boundary of flat chunk f lives at tbounds[f // 128, :, f % 128];
+    boundaries of chunks the walk never started stay zero (their instances
+    contribute < TRANS_EPS and the backward skips them, matching the
+    truncation)."""
     tw, th = width // tile_size, height // tile_size
     n_tiles = tw * th
     p = tile_size * tile_size
     offsets, bound = chunk_layout(packed, n_tiles)
+    n_groups = (bound + CHUNK - 1) // CHUNK
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -239,18 +265,19 @@ def raster_forward_train(packed: PackedTiles, width: int, height: int,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
-            pltpu.VMEM((2, p, 1), jnp.float32),
+            pltpu.VMEM((p, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    tb_zeros = jnp.zeros((bound, p, 1), jnp.float32)
+    tb_zeros = jnp.zeros((n_groups, p, CHUNK), jnp.float32)
     out_t, tbounds = pl.pallas_call(
-        _fwd_train_kernel(tile_size, tw, bg),
+        _fwd_train_kernel(tile_size, tw, bg, n_tiles),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 8, p), jnp.float32),
-            jax.ShapeDtypeStruct((bound, p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, p, CHUNK), jnp.float32),
         ],
         # inputs incl. 3 scalar-prefetch args: rows16 is 3, tb_zeros is 4
         input_output_aliases={4: 1},
@@ -265,7 +292,8 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
     p = tile_size * tile_size
 
     def kernel(start_ref, count_ref, off_ref, rows16_hbm, gimg_ref, tb_hbm,
-               grads_in_hbm, grads_hbm, buf, tbuf, gout, sem, tbsem, osem):
+               grads_in_hbm, grads_hbm, buf, gbuf, gout, sem, gbsem, osem,
+               cur):
         # grads_in_hbm is the zero-initialized alias of grads_hbm; all
         # traffic goes through the output ref (same memory)
         del grads_in_hbm
@@ -284,6 +312,10 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
         astart = (start // CHUNK) * CHUNK
         n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
 
+        @pl.when(i == 0)
+        def _():
+            cur[0] = -1  # no group cached yet
+
         g_r = gimg_ref[0, :, 0:1]                           # [p, 1]
         g_g = gimg_ref[0, :, 1:2]
         g_b = gimg_ref[0, :, 2:3]
@@ -301,10 +333,6 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             return pltpu.make_async_copy(
                 rows16_hbm.at[:, pl.ds(c0, CHUNK)], buf.at[slot], sem.at[slot])
 
-        def get_tb(slot, chunk_idx):
-            return pltpu.make_async_copy(
-                tb_hbm.at[off + chunk_idx], tbuf.at[slot], tbsem.at[slot])
-
         def put_dma(slot, chunk_idx):
             c0 = astart + chunk_idx * CHUNK
             return pltpu.make_async_copy(
@@ -321,7 +349,6 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
         @pl.when(n_chunks > 0)
         def _():
             get_dma(0, n_chunks - 1).start()
-            get_tb(0, n_chunks - 1).start()
 
         def sweep(k, s_carry):
             ci = n_chunks - 1 - k
@@ -329,15 +356,29 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             @pl.when(ci >= 1)
             def _():
                 get_dma((k + 1) % 2, ci - 1).start()
-                get_tb((k + 1) % 2, ci - 1).start()
 
-            get_dma(k % 2, ci).wait()
-            get_tb(k % 2, ci).wait()
-            blk = buf[k % 2]
-            t_start = tbuf[k % 2]                           # [p, 1]
+            # boundary of flat chunk f sits in group f//128 at lane f%128;
+            # tiles walk flat indices monotonically so the cached group
+            # block usually survives many tiles
+            f = off + ci
+            g = f // CHUNK
+            l = f % CHUNK
+
+            @pl.when(g != cur[0])
+            def _():
+                dma = pltpu.make_async_copy(tb_hbm.at[g], gbuf, gbsem.at[0])
+                dma.start()
+                dma.wait()
+                cur[0] = g
+
+            t_start = jnp.sum(
+                jnp.where(lane == l, gbuf[...], 0.0), axis=1, keepdims=True)
             # boundary all-zero <=> the forward's early exit never started
             # this chunk: its instances contributed < TRANS_EPS, skip
             started = jnp.max(t_start) > 0.0
+
+            get_dma(k % 2, ci).wait()
+            blk = buf[k % 2]
 
             gx = blk[0:1, :] - ox                           # tile-local
             gy = blk[1:2, :] - oy
@@ -473,11 +514,12 @@ def _run_backward(packed: PackedTiles, gimg_t: jnp.ndarray,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
-            pltpu.VMEM((2, p, 1), jnp.float32),
+            pltpu.VMEM((p, CHUNK), jnp.float32),
             pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
 
