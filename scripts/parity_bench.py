@@ -54,6 +54,9 @@ def main(argv=None) -> None:
     p.add_argument("--train_args", type=str, default="",
                    help="extra args appended to the train.py call, e.g. "
                         "'--densify_until_iter 6000 --sh_degree 2'")
+    p.add_argument("--reuse_scene", action="store_true",
+                   help="skip scene generation when the workdir scene exists "
+                        "(ablations over train settings share one dataset)")
     args = p.parse_args(argv)
 
     scene = os.path.join(args.workdir, "scene")
@@ -63,10 +66,12 @@ def main(argv=None) -> None:
     sys.path.insert(0, REPO)
     from cloth_splatting_tpu.data.synthetic import generate_synthetic_scene
 
-    generate_synthetic_scene(
-        scene, n_views=args.n_views, n_times=args.n_times,
-        image_size=args.image_size, mesh_res=args.mesh_res,
-        prediction_noise=args.prediction_noise, seed=args.seed)
+    if not (args.reuse_scene
+            and os.path.exists(os.path.join(scene, "transforms_train.json"))):
+        generate_synthetic_scene(
+            scene, n_views=args.n_views, n_times=args.n_times,
+            image_size=args.image_size, mesh_res=args.mesh_res,
+            prediction_noise=args.prediction_noise, seed=args.seed)
 
     run("train.py", "-s", scene, "-m", exp,
         "--iterations", args.iterations,

@@ -250,3 +250,91 @@ class TestDeepOcclusionGrads:
             scale = np.abs(ref).max() + 1e-12
             np.testing.assert_allclose(arr, ref, atol=5e-4 * scale,
                                        err_msg=name)
+
+
+class TestMultiGroupBoundaries:
+    """The training tier's saved transmittance boundaries are packed 128
+    flat-chunk indices per [pixels, 128] HBM group, with a persistent
+    scratch flushed at every group edge of the sequential tile walk.
+    The small-scene tests above fit a single group; this scene forces
+    several groups (and therefore mid-walk flushes and backward group-cache
+    reloads), then checks forward + gradients against the dense
+    differentiable XLA tier."""
+
+    WG = HG = 192  # 144 tiles at 16px
+
+    def _scene(self, n=4500, seed=11):
+        from cloth_splatting_tpu.ops.projection import ProjectedGaussians
+
+        rng = np.random.default_rng(seed)
+        xy = jnp.asarray(rng.uniform(4, self.WG - 4, (n, 2)), jnp.float32)
+        depth = jnp.asarray(rng.uniform(1.0, 6.0, n), jnp.float32)
+        # radii stay under the small-stream span (7.49 px at 16px tiles) so
+        # the big-cap support shrink never kicks in and the dense tier is an
+        # exact semantic match (modulo the TRANS_EPS early exit)
+        inv = 1.0 / rng.uniform(2.0, 6.0, n).astype(np.float32)
+        conic = jnp.stack(
+            [jnp.asarray(inv), jnp.zeros(n, jnp.float32), jnp.asarray(inv)],
+            axis=1)
+        return ProjectedGaussians(
+            xy=xy, depth=depth, conic=conic,
+            radius=jnp.asarray(3.0 / np.sqrt(inv), jnp.float32),
+            color=jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32),
+            opacity=jnp.asarray(rng.uniform(0.1, 0.8, n), jnp.float32),
+            valid=jnp.ones((n,), bool),
+            power_cut=jnp.full((n,), -4.5, jnp.float32),
+        )
+
+    def test_crosses_groups_and_matches_dense_tier(self):
+        import jax
+
+        from cloth_splatting_tpu.ops.rasterize import rasterize_tiled
+        from cloth_splatting_tpu.ops.rasterize.pallas_tiled import (
+            CHUNK,
+            sorted_pack,
+        )
+        from cloth_splatting_tpu.ops.rasterize.pallas_train import (
+            chunk_layout,
+            rasterize_pallas_grad,
+        )
+
+        proj = self._scene()
+        w = h = self.WG
+        tw = th = w // 16
+
+        packed = sorted_pack(proj, tw, th, 16, 5)
+        _, bound = chunk_layout(packed, tw * th)
+        assert bound > 2 * CHUNK, (
+            f"scene too small to cross boundary groups (bound={bound})")
+
+        tgt = jnp.asarray(
+            np.random.default_rng(3).uniform(0, 1, (3, h, w)), jnp.float32)
+
+        def loss_dense(xy, conic, color, op):
+            p = proj._replace(xy=xy, conic=conic, color=color, opacity=op)
+            rgb, dep, acc, aux = rasterize_tiled(p, w, h, jnp.ones(3),
+                                                 k_cap=512)
+            return (jnp.mean((rgb - tgt) ** 2) + 0.05 * jnp.mean(acc),
+                    aux.n_dropped)
+
+        def loss_pallas(xy, conic, color, op):
+            p = proj._replace(xy=xy, conic=conic, color=color, opacity=op)
+            rgb, dep, acc = rasterize_pallas_grad(
+                p, w, h, (1.0, 1.0, 1.0), tile_size=16, win=5, interpret=True)
+            return jnp.mean((rgb - tgt) ** 2) + 0.05 * jnp.mean(acc)
+
+        args = (proj.xy, proj.conic, proj.color, proj.opacity)
+        (l_d, dropped), g_d = jax.value_and_grad(
+            loss_dense, argnums=(0, 1, 2, 3), has_aux=True)(*args)
+        assert int(dropped) == 0  # fair comparison needs an uncapped dense run
+        l_p, g_p = jax.value_and_grad(
+            loss_pallas, argnums=(0, 1, 2, 3))(*args)
+
+        np.testing.assert_allclose(float(l_p), float(l_d), rtol=2e-4)
+        for name, a, b in zip(("xy", "conic", "color", "op"), g_d, g_p):
+            # absolute floor: instances past the TRANS_EPS early exit carry
+            # zero grads in the Pallas tier but tiny nonzero ones densely
+            scale = float(jnp.abs(a).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=max(5e-4 * scale, 1e-5),
+                                       err_msg=name)
