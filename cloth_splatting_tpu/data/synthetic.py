@@ -84,6 +84,32 @@ def target_gaussians(mesh, sh_degree: int, seed: int = 0):
     return params, state
 
 
+def smooth_prediction_error(rest: np.ndarray, n_times: int, rms: float,
+                            rng: np.random.Generator,
+                            n_centers: int = 4,
+                            length_scale: float = 0.5) -> np.ndarray:
+    """Spatially/temporally smooth error field, RMS-normalized to ``rms``.
+
+    A trained GNN's rollout error is low-frequency and correlated across
+    vertices and time (a drifting bias), not white noise: iid per-vertex
+    perturbation of the driving mesh makes face frames jitter and gives
+    mesh-bound Gaussians inconsistent supervision each step — far harsher
+    than any real rollout at the same RMS. Model the realistic case as a
+    sum of RBF bumps with temporally-smoothed coefficients.
+    Returns [T, V, 3]."""
+    centers = rest[rng.choice(rest.shape[0], size=n_centers, replace=False)]
+    d2 = ((rest[:, None, :] - centers[None, :, :]) ** 2).sum(-1)   # [V, M]
+    basis = np.exp(-d2 / (2.0 * length_scale**2))                  # [V, M]
+    coef = rng.normal(size=(n_times, n_centers, 3))                # [T, M, 3]
+    if n_times > 2:   # temporal smoothing: 1-2-1 passes along time
+        for _ in range(2):
+            pad = np.concatenate([coef[:1], coef, coef[-1:]])
+            coef = 0.25 * pad[:-2] + 0.5 * pad[1:-1] + 0.25 * pad[2:]
+    field = np.einsum("vm,tmc->tvc", basis, coef)                  # [T, V, 3]
+    scale = rms / max(np.sqrt(np.mean(field**2)), 1e-12)
+    return field * scale
+
+
 def generate_synthetic_scene(
     out_dir: str,
     n_views: int = 6,
@@ -94,13 +120,16 @@ def generate_synthetic_scene(
     white_background: bool = True,
     test_views: tuple[int, ...] = (1, 4),
     prediction_noise: float = 0.0,
+    noise_mode: str = "iid",
     seed: int = 0,
 ) -> str:
     """Render a full synthetic dataset; returns out_dir.
 
     ``prediction_noise`` perturbs the saved mesh_predictions relative to the
     true trajectory, emulating imperfect GNN rollouts (the setting train.py's
-    residual simulator exists to fix).
+    residual simulator exists to fix). ``noise_mode='iid'`` is per-vertex
+    white noise (an adversarial worst case); ``'smooth'`` is a spatially and
+    temporally correlated field at the same RMS (how real rollouts err).
     """
     import imageio.v2 as imageio
 
@@ -115,9 +144,14 @@ def generate_synthetic_scene(
 
     # meshes on disk
     save_mesh_h5(os.path.join(out_dir, "init_mesh.hdf5"), rest_mesh)
+    if prediction_noise > 0 and noise_mode == "smooth":
+        err = smooth_prediction_error(rest, n_times, prediction_noise, rng)
+    elif prediction_noise > 0:
+        err = rng.normal(0, prediction_noise, (n_times,) + rest.shape)
+    else:
+        err = np.zeros((n_times,) + rest.shape)
     for i, t in enumerate(times):
-        pred = traj[i] + (rng.normal(0, prediction_noise, rest.shape)
-                          if prediction_noise > 0 else 0.0)
+        pred = traj[i] + err[i]
         save_positions_h5(os.path.join(out_dir, "mesh_predictions", f"mesh_{i:03d}.hdf5"),
                           rest_mesh, pred.astype(np.float32))
 

@@ -48,6 +48,11 @@ def main(argv=None) -> None:
     p.add_argument("--n_times", type=int, default=8)
     p.add_argument("--prediction_noise", type=float, default=0.01,
                    help="mesh-prediction corruption the residual MLP must fix")
+    p.add_argument("--noise_mode", type=str, default="iid",
+                   choices=("iid", "smooth"),
+                   help="iid = per-vertex white noise (adversarial worst "
+                        "case); smooth = spatially/temporally correlated "
+                        "field at the same RMS (how real GNN rollouts err)")
     p.add_argument("--iterations", type=int, default=2000)
     p.add_argument("--static", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
@@ -71,7 +76,8 @@ def main(argv=None) -> None:
         generate_synthetic_scene(
             scene, n_views=args.n_views, n_times=args.n_times,
             image_size=args.image_size, mesh_res=args.mesh_res,
-            prediction_noise=args.prediction_noise, seed=args.seed)
+            prediction_noise=args.prediction_noise,
+            noise_mode=args.noise_mode, seed=args.seed)
 
     run("train.py", "-s", scene, "-m", exp,
         "--iterations", args.iterations,
@@ -107,6 +113,7 @@ def main(argv=None) -> None:
         "image_size": args.image_size,
         "iterations": args.iterations,
         "prediction_noise": args.prediction_noise,
+        "noise_mode": args.noise_mode,
     }))
 
 

@@ -28,6 +28,42 @@ def dataset(tmp_path_factory):
     )
 
 
+class TestSmoothPredictionError:
+    """noise_mode='smooth': same RMS as iid, but spatially/temporally
+    correlated (the realistic GNN-rollout error model — a drifting
+    low-frequency bias, not per-vertex white noise)."""
+
+    def test_rms_matches_and_field_is_smooth(self):
+        from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+        from cloth_splatting_tpu.data.synthetic import smooth_prediction_error
+
+        mesh = grid_cloth_mesh(16, 16, size=1.4)
+        rest = np.asarray(mesh.pos)
+        rng = np.random.default_rng(0)
+        rms = 0.01
+        field = smooth_prediction_error(rest, n_times=8, rms=rms, rng=rng)
+        assert field.shape == (8, rest.shape[0], 3)
+        np.testing.assert_allclose(np.sqrt(np.mean(field**2)), rms, rtol=1e-6)
+
+        # spatial smoothness: adjacent-vertex deltas far below iid's sqrt(2)*rms
+        edges = np.asarray(mesh.edge_index).T                      # [E, 2]
+        d_adj = field[:, edges[:, 0]] - field[:, edges[:, 1]]
+        assert np.sqrt(np.mean(d_adj**2)) < 0.3 * np.sqrt(2) * rms
+        # temporal smoothness: frame-to-frame deltas well below iid refresh
+        d_t = field[1:] - field[:-1]
+        assert np.sqrt(np.mean(d_t**2)) < 0.5 * np.sqrt(2) * rms
+
+    def test_generator_writes_smooth_predictions(self, tmp_path):
+        from cloth_splatting_tpu.data.mesh_io import load_mesh_h5
+
+        out = str(tmp_path / "scene_smooth")
+        generate_synthetic_scene(out, n_views=3, n_times=3, image_size=16,
+                                 mesh_res=8, prediction_noise=0.02,
+                                 noise_mode="smooth")
+        m0 = load_mesh_h5(out + "/mesh_predictions/mesh_000.hdf5")
+        assert np.all(np.isfinite(np.asarray(m0.pos)))
+
+
 class TestIO:
     def test_ply_roundtrip(self, tmp_path):
         cols = {"x": np.arange(5, dtype=np.float32),
