@@ -128,16 +128,39 @@ def render_set(
                   and w % 16 == 0 and h % 16 == 0)
     bg_static = tuple(float(c) for c in np.asarray(bg))
 
-    @jax.jit
-    def render_one(cam_arr):
-        out = render(cam_arr, w, h, cam0.tanfovx, cam0.tanfovy, params, state,
-                     mesh, sim_params, preds, bg, sh_degree, k_cap=k_cap,
-                     backend="pallas_fwd" if use_pallas else "tiled",
-                     bg_static=bg_static)
-        return out
+    def make_render_one(cap):
+        @jax.jit
+        def render_one(cam_arr):
+            return render(cam_arr, w, h, cam0.tanfovx, cam0.tanfovy, params,
+                          state, mesh, sim_params, preds, bg, sh_degree,
+                          k_cap=cap,
+                          backend="pallas_fwd" if use_pallas else "tiled",
+                          bg_static=bg_static)
+        return render_one
 
-    # warmup/compile outside the timed loop (parity with CUDA warm caches)
-    first = render_one(camera_arrays(cameras[0]))
+    # warmup/compile outside the timed loop (parity with CUDA warm caches).
+    # The dense tiled fallback truncates per-tile lists at k_cap while
+    # training auto-grows its own cap (train/loop.py) — so a checkpoint can
+    # legitimately need more than the default. Grow until nothing is
+    # dropped: silently truncated eval renders once mis-scored a run by
+    # ~9 dB (the pallas serving tier is capless; it reports 0 here).
+    render_one = make_render_one(k_cap)
+    if use_pallas:
+        first = render_one(camera_arrays(cameras[0]))
+    else:
+        # scan EVERY frame for overflow (a later camera can pack a tile far
+        # deeper than frame 0), growing until the whole set renders exact
+        while True:
+            dropped = 0
+            for cam in cameras:
+                first = render_one(camera_arrays(cam))
+                dropped = max(dropped, int(first.n_dropped))
+            if dropped == 0 or k_cap >= 8192:
+                break
+            k_cap *= 2
+            print(f"{split}: rasterizer dropped {dropped} tile instances; "
+                  f"growing eval k_cap -> {k_cap} (recompile)")
+            render_one = make_render_one(k_cap)
     jax.block_until_ready(first.rgb)
 
     # Timed loop stays on device and KEEPS NOTHING (the reference's

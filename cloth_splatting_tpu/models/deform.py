@@ -105,9 +105,13 @@ def simulate(params: ResidualSimulatorParams, mesh_predictions: jnp.ndarray,
     n_times = mesh_predictions.shape[0]
     dt = 1.0 if n_times == 1 else 1.0 / (n_times - 1)
     h = sinusoidal_encode(t)
-    h = jax.nn.relu(h @ params.w_in + params.b_in)
-    h = jax.nn.relu(h @ params.w_h + params.b_h)
-    residual = (h @ params.w_out + params.b_out).reshape(-1, 3)
+    # f32 matmuls: the output feeds VERTEX POSITIONS, where bf16 rounding
+    # (TPU matmul default) is screen-space noise at high resolutions.
+    hp = jax.lax.Precision.HIGHEST
+    h = jax.nn.relu(jnp.matmul(h, params.w_in, precision=hp) + params.b_in)
+    h = jax.nn.relu(jnp.matmul(h, params.w_h, precision=hp) + params.b_h)
+    residual = (jnp.matmul(h, params.w_out, precision=hp)
+                + params.b_out).reshape(-1, 3)
     time_id = jnp.clip(jnp.round(t / dt).astype(jnp.int32), 0, n_times - 1)
     base = jax.lax.dynamic_index_in_dim(mesh_predictions, time_id, axis=0, keepdims=False)
     return base + residual

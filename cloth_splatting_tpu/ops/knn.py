@@ -33,6 +33,11 @@ def knn(points: jnp.ndarray, k: int = 3, chunk: int = 4096):
     """
     n = points.shape[0]
     n_pad = ((n + chunk - 1) // chunk) * chunk
+    # Translation invariance: distances only involve differences, but the
+    # |q|^2 - 2 q.p + |p|^2 expansion cancels catastrophically when the
+    # cloud sits far from the origin. Centering bounds |q.p| by the cloud
+    # extent, keeping the f32 cross term accurate at any world offset.
+    points = points - jnp.mean(points, axis=0, keepdims=True)
     points = jnp.concatenate(
         [points, jnp.full((n_pad - n, 3), 1e10, dtype=points.dtype)], axis=0
     )
@@ -41,8 +46,15 @@ def knn(points: jnp.ndarray, k: int = 3, chunk: int = 4096):
     def one_chunk(start):
         q = jax.lax.dynamic_slice_in_dim(points, start, chunk, axis=0)  # [C, 3]
         qn = jax.lax.dynamic_slice_in_dim(sq_norms, start, chunk, axis=0)
-        # ||q - p||^2 = |q|^2 - 2 q.p + |p|^2 (MXU matmul for the cross term)
-        d2 = qn[:, None] - 2.0 * (q @ points.T) + sq_norms[None, :]
+        # ||q - p||^2 = |q|^2 - 2 q.p + |p|^2 (MXU matmul for the cross term).
+        # HIGHEST is load-bearing: with the TPU default (bf16 inputs) the
+        # cross term carries ~|q||p| * 2^-8 of rounding noise, the same
+        # magnitude as true nearest-neighbor d^2 for unit-scale scenes --
+        # measured 5% scale-init corruption that capped the parity fit.
+        d2 = (qn[:, None]
+              - 2.0 * jnp.matmul(q, points.T,
+                                 precision=jax.lax.Precision.HIGHEST)
+              + sq_norms[None, :])
         # exclude self-matches
         idx = start + jnp.arange(chunk)
         self_mask = idx[:, None] == jnp.arange(n_pad)[None, :]

@@ -151,8 +151,10 @@ def kabsch_rotation(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
     """
     src_c = src - jnp.mean(src, axis=-2, keepdims=True)
     dst_c = dst - jnp.mean(dst, axis=-2, keepdims=True)
-    # Cross-covariance H = src_c^T dst_c : [..., 3, 3]
-    h = jnp.einsum("...pi,...pj->...ij", src_c, dst_c)
+    # Cross-covariance H = src_c^T dst_c : [..., 3, 3]. f32 accumulation:
+    # bf16 inputs (TPU default) perturb the SVD enough to wobble rotations.
+    h = jnp.einsum("...pi,...pj->...ij", src_c, dst_c,
+                   precision=jax.lax.Precision.HIGHEST)
     u, _, vt = jnp.linalg.svd(h, full_matrices=False)
     # Proper rotation: flip the last singular vector if det < 0.
     det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", jnp.swapaxes(vt, -1, -2), jnp.swapaxes(u, -1, -2)))

@@ -63,6 +63,17 @@ class OptimizationConfig:
     opacity_lr: float = 0.05
     scaling_lr: float = 0.005
     rotation_lr: float = 0.001
+    # Tail decay over ALL Gaussian param groups (new capability, disabled by
+    # default for reference parity: 3DGS decays only the position LR). Adam
+    # normalizes gradient magnitude, so near an optimum the quantization-
+    # noise gradient still produces full lr-sized parameter steps; the
+    # stationary jitter is set by the CONSTANT group LRs (opacity 0.05,
+    # scaling 0.005) and costs PSNR that grows with resolution. A cosine
+    # ramp from lr_tail_start * iterations down to lr_tail_floor * lr lets
+    # the fit settle into the basin it found. Measured on the 800px parity
+    # scene: from-truth equilibrium 43 dB at constant LRs.
+    lr_tail_start: float = 1.0   # fraction of total iterations; 1.0 = off
+    lr_tail_floor: float = 0.01  # final LR multiplier at the last iteration
     percent_dense: float = 0.01
     lambda_dssim: float = 0.1
     lambda_lpips: float = 0.0

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from cloth_splatting_tpu.models.gaussians import Mesh
 from cloth_splatting_tpu.ops.image import l1_loss
+from cloth_splatting_tpu.ops.smallmat import bmv3
 from cloth_splatting_tpu.ops.ssim import ssim
 
 
@@ -140,7 +141,7 @@ def knn_regularization(means: jnp.ndarray, rotations: jnp.ndarray,
             kq_curr = q_curr[idx].reshape(-1, 4)
             rel = quat_multiply(kq_prev, quat_inverse(kq_curr))
             rot = quat_to_rotmat(rel)                              # [C*k,3,3]
-            cur = jnp.einsum("nij,nj->ni", rot, off_curr.reshape(-1, 3))
+            cur = bmv3(rot, off_curr.reshape(-1, 3))  # elementwise, f32 (no bf16 einsum)
             d2 = jnp.sum((cur - off_prev.reshape(-1, 3)) ** 2, axis=-1)
             val = jnp.sqrt(d2 * w.reshape(-1) + 1e-20)
             return jnp.sum(jnp.where(valid.reshape(-1), val, 0.0)) / vnum

@@ -129,6 +129,19 @@ class Trainer:
 
     # ------------------------------------------------------------------ lr
 
+    def _tail_mult(self, step):
+        """Cosine tail-decay multiplier over ALL param groups (1.0 = off);
+        see config.lr_tail_start for the rationale."""
+        o = self.cfg.opt
+        if o.lr_tail_start >= 1.0:
+            return 1.0
+        total = float(max(o.iterations, 1))
+        t0 = o.lr_tail_start * total
+        frac = jnp.clip((jnp.asarray(step, jnp.float32) - t0)
+                        / max(total - t0, 1.0), 0.0, 1.0)
+        return (o.lr_tail_floor + (1.0 - o.lr_tail_floor)
+                * 0.5 * (1.0 + jnp.cos(jnp.pi * frac)))
+
     def _lr_tree(self, step) -> G.GaussianParams:
         o = self.cfg.opt
         pos_lr = expon_lr(
@@ -138,14 +151,15 @@ class Trainer:
             lr_delay_mult=o.position_lr_delay_mult,
             max_steps=o.position_lr_max_steps,
         )
+        mult = self._tail_mult(step)
         return G.GaussianParams(
-            face_bary=pos_lr,
-            face_offset=pos_lr,
-            features_dc=o.feature_lr,
-            features_rest=o.feature_lr / 20.0,
-            opacity=o.opacity_lr,
-            scaling=o.scaling_lr,
-            rotation=o.rotation_lr,
+            face_bary=pos_lr * mult,
+            face_offset=pos_lr * mult,
+            features_dc=o.feature_lr * mult,
+            features_rest=o.feature_lr / 20.0 * mult,
+            opacity=o.opacity_lr * mult,
+            scaling=o.scaling_lr * mult,
+            rotation=o.rotation_lr * mult,
         )
 
     # ------------------------------------------------------------------ step
@@ -271,8 +285,9 @@ class Trainer:
             new_sim = state.sim_params
             sim_opt = state.sim_opt
         else:
+            sim_lr = self.cfg.meshnet.lr_init * self._tail_mult(state.step)
             new_sim = jax.tree_util.tree_map(
-                lambda p, u: p - self.cfg.meshnet.lr_init * u,
+                lambda p, u: p - sim_lr * u,
                 state.sim_params, sim_updates,
             )
 

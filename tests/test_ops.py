@@ -204,6 +204,30 @@ class TestKNN:
         d_b, _ = knn_ops.knn(pts, k=3, chunk=128)
         np.testing.assert_allclose(d_a, d_b, rtol=1e-5)
 
+    def test_far_from_origin(self):
+        """Tight cluster at a large world offset: the |q|^2 - 2q.p + |p|^2
+        expansion cancels catastrophically without centroid subtraction."""
+        from scipy.spatial import cKDTree
+
+        rng = np.random.default_rng(12)
+        local = rng.random((300, 3)).astype(np.float32) * 0.05
+        pts = local + np.asarray([50.0, -30.0, 80.0], np.float32)
+        tree = cKDTree(local)  # exact distances from the offset-free cloud
+        d, _ = tree.query(local, k=4)
+        expected = (d[:, 1:] ** 2).mean(axis=1)
+        ours = np.asarray(knn_ops.mean_knn_sq_dist(jnp.asarray(pts), k=3))
+        np.testing.assert_allclose(ours, expected, rtol=1e-2)
+
+    def test_matmul_precision_is_f32(self):
+        """The distance cross-term must request HIGHEST precision: on TPU the
+        default feeds bf16 into the MXU, and the rounding noise (~|q||p|/256)
+        swamps true nearest-neighbor d^2 at unit scene scale — measured as a
+        5% Gaussian scale-init corruption that capped the parity fit. Guard
+        the lowered IR so the annotation cannot silently regress."""
+        pts = jnp.zeros((8, 3), jnp.float32)
+        txt = jax.jit(lambda p: knn_ops.knn(p, k=3, chunk=8)).lower(pts).as_text()
+        assert "HIGHEST" in txt
+
 
 class TestSchedules:
     def test_expon_lr_endpoints(self):

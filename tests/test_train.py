@@ -176,6 +176,34 @@ class TestStaticFit:
         assert float(jnp.max(G.get_opacity(state.params))) <= 0.0101
 
 
+class TestLrTailDecay:
+    def test_tail_multiplies_all_groups(self, scene):
+        mesh, _, _, _ = scene
+        cfg = make_cfg()
+        cfg.opt.iterations = 1000
+        cfg.opt.lr_tail_start = 0.5
+        cfg.opt.lr_tail_floor = 0.01
+        preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2),
+                          np.tan(FOV / 2), spatial_lr_scale=3.0)
+        lr_mid = trainer._lr_tree(500)    # tail just starting: full LR
+        lr_end = trainer._lr_tree(1000)   # tail done: floor * LR
+        for f in ("opacity", "scaling", "rotation", "features_dc"):
+            a = float(jnp.asarray(getattr(lr_mid, f)))
+            b = float(jnp.asarray(getattr(lr_end, f)))
+            assert b == pytest.approx(0.01 * a, rel=1e-4), (f, a, b)
+        # disabled by default: multiplier 1 exactly
+        assert trainer._tail_mult(10_000) == 1.0 or cfg.opt.lr_tail_start < 1.0
+
+    def test_default_off_matches_reference(self, scene):
+        mesh, cfg, _, _ = scene
+        preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2),
+                          np.tan(FOV / 2), spatial_lr_scale=3.0)
+        lr = trainer._lr_tree(cfg.opt.iterations)
+        assert float(jnp.asarray(lr.opacity)) == pytest.approx(cfg.opt.opacity_lr)
+
+
 class TestDynamicFit:
     def test_dynamic_fit_runs_and_learns(self, scene):
         mesh, cfg, cams0, _ = scene
