@@ -179,7 +179,8 @@ def render(
         n_dropped = jnp.zeros((), jnp.int32)
     else:
         rgb, depth, alpha, aux = rasterize_tiled(
-            proj_full, width, height, bg_color, k_cap=k_cap, k_chunk=k_chunk
+            proj_full, width, height, bg_color, k_cap=k_cap,
+            k_chunk=min(k_chunk, k_cap),
         )
         n_dropped = aux.n_dropped
 

@@ -363,3 +363,30 @@ class TestKCapAutoGrow:
         assert "growing raster_k_cap" in out
         assert cfg.opt.raster_k_cap > 4          # doubled at least once
         assert all(np.isfinite(l) for l in losses)
+
+    def test_eval_grows_cap_until_exact(self, tmp_path, capsys):
+        """render_set must not score a checkpoint through a truncating
+        k_cap: it doubles until n_dropped == 0 (a dense 128px checkpoint
+        once lost ~9 dB to silent eval truncation)."""
+        from cloth_splatting_tpu.data.scene import load_cloth_scene
+        from cloth_splatting_tpu.data.synthetic import generate_synthetic_scene
+        from cloth_splatting_tpu.eval.render_sets import render_set
+        from cloth_splatting_tpu.models.deform import init_residual_simulator
+
+        scene_dir = str(tmp_path / "scene")
+        generate_synthetic_scene(scene_dir, n_views=2, n_times=2,
+                                 image_size=32, mesh_res=8)
+        scene = load_cloth_scene(scene_dir, eval_split=False)
+        mesh = scene.initial_mesh
+        from cloth_splatting_tpu.data.synthetic import target_gaussians
+        params, state = target_gaussians(mesh, sh_degree=0, seed=0)
+        sim = init_residual_simulator(np.random.default_rng(0),
+                                      int(mesh.pos.shape[0]))
+        cams = [scene.train.get(v, 0).camera for v in range(scene.train.n_views)]
+        res = render_set(str(tmp_path / "out"), "test", 1, cams, [],
+                         params, state, mesh, sim,
+                         jnp.asarray(scene.mesh_predictions), True,
+                         sh_degree=0, k_cap=4)
+        out = capsys.readouterr().out
+        assert "growing eval k_cap" in out
+        assert np.isfinite(res["fps"])
