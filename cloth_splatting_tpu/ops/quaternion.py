@@ -157,7 +157,12 @@ def kabsch_rotation(src: jnp.ndarray, dst: jnp.ndarray) -> jnp.ndarray:
                    precision=jax.lax.Precision.HIGHEST)
     u, _, vt = jnp.linalg.svd(h, full_matrices=False)
     # Proper rotation: flip the last singular vector if det < 0.
-    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", jnp.swapaxes(vt, -1, -2), jnp.swapaxes(u, -1, -2)))
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik",
+                                    jnp.swapaxes(vt, -1, -2),
+                                    jnp.swapaxes(u, -1, -2),
+                                    precision=jax.lax.Precision.HIGHEST))
     flip = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
-    r = jnp.einsum("...ji,...j,...jk->...ik", vt, flip, jnp.swapaxes(u, -1, -2))
+    r = jnp.einsum("...ji,...j,...jk->...ik", vt, flip,
+                   jnp.swapaxes(u, -1, -2),
+                   precision=jax.lax.Precision.HIGHEST)
     return r
