@@ -143,7 +143,35 @@ def measure_train_iters(width: int = 800, height: int = 800,
     return n_iters / (time.time() - t0)
 
 
+def _wait_for_device(max_wait_s: float) -> None:
+    """Block until a JAX backend initializes, probing in timeout-bounded
+    subprocesses (the device tunnel has ~1 h outages; backend init inside
+    THIS process would hang rather than fail fast). Proceeds after
+    max_wait_s regardless so a hard-down tunnel still produces an error
+    line instead of a silent hang."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    code = ("import sys; sys.path.insert(0, %r)\n"
+            "import cloth_splatting_tpu\n"
+            "import jax; jax.devices()\n" % os.path.dirname(os.path.abspath(__file__)))
+    while True:
+        try:
+            if subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, timeout=90).returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            print("bench: device probe still failing after "
+                  f"{max_wait_s:.0f}s; proceeding anyway", file=sys.stderr)
+            return
+        print("bench: device unavailable, retrying in 120s", file=sys.stderr)
+        time.sleep(120)
+
+
 def main() -> None:
+    _wait_for_device(float(os.environ.get("BENCH_WAIT_DEVICE_S", "1800")))
     # Each scale is a separate XLA program and the TPU tunnel backend does
     # not hit the persistent compile cache, so every scale costs ~60-120 s of
     # compile. Default to the headline 65k scene + train throughput (~3.5 min
