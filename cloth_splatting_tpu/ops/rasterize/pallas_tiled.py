@@ -193,32 +193,161 @@ def sorted_pack(proj: ProjectedGaussians, tw: int, th: int, tile_size: int,
     return PackedTiles(rows16, starts, counts, sorted_gidx, aux)
 
 
+def _composite_chunk(blk, px, py, lane, posbase, start, count, trans, acc):
+    """Composite one [16, CHUNK] parameter block over the tile's pixels.
+
+    ``posbase`` is the absolute instance position of lane 0; instances
+    outside [start, start + count) are masked dead. Returns the updated
+    (trans [p, 1], acc [5, p])."""
+    gx = blk[0:1, :]                                  # [1, CHUNK]
+    gy = blk[1:2, :]
+    ca = blk[2:3, :]
+    cb = blk[3:4, :]
+    cc = blk[4:5, :]
+    op = blk[8:9, :]
+    cut = blk[10:11, :]
+
+    pos = posbase + lane                              # [1, CHUNK]
+    live = (pos >= start) & (pos < start + count)
+
+    dx = px - gx                                      # [p, CHUNK]
+    dy = py - gy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
+    alpha = jnp.where(
+        (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live),
+        0.0, alpha)
+
+    # exclusive cumprod of (1 - alpha) along the instance (lane) axis
+    incl = 1.0 - alpha
+    s = 1
+    while s < CHUNK:
+        shifted = jnp.where(lane >= s, pltpu.roll(incl, s, 1), 1.0)
+        incl = incl * shifted
+        s *= 2
+    excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
+
+    w = alpha * excl * trans                          # [p, CHUNK]
+    # channels: r g b depth ones — the ones channel telescopes to
+    # sum(w) = delta of (1 - T), keeping everything lane-major
+    chans = jnp.concatenate(
+        [blk[5:8, :], blk[9:10, :], jnp.ones((1, CHUNK), jnp.float32)],
+        axis=0)                                       # [5, CHUNK]
+    acc = acc + jax.lax.dot_general(
+        chans, w, (((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)           # [5, p]
+    trans = trans * incl[:, CHUNK - 1:CHUNK]          # [p, 1]
+    return trans, acc
+
+
 def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
-            tpp: int = 1):
-    p = tile_size * tile_size                                   # pixels/tile
+            tpp: int = 1, span_cap: int = 0):
+    """Kernel factory. ``rows3d_hbm`` is the chunk-major [n_chunks, 16,
+    CHUNK] view of the packed instance params.
 
-    def kernel(start_ref, count_ref, rows16_hbm, out_ref, buf, sem):
-        for t in range(tpp):                # unrolled: tiles per program
-            _one_tile(t, start_ref, count_ref, rows16_hbm, out_ref, buf, sem)
+    ``span_cap > 0`` (requires tpp > 1) enables the span fast path: a
+    program's tpp tiles own CONTIGUOUS segments of the sorted instance
+    array, so when their combined span fits ``span_cap`` chunks it is
+    fetched as ONE DMA and every tile composites straight from VMEM. The
+    per-tile double-buffered chunk walk remains as the overflow fallback.
+    Rationale: tiles average around one chunk, so the walk pays one DMA
+    latency per TILE that the double buffer cannot hide; the span path
+    pays one DMA latency per PROGRAM."""
+    p = tile_size * tile_size
 
-    def _one_tile(t, start_ref, count_ref, rows16_hbm, out_ref, buf, sem):
-        i = pl.program_id(0) * tpp + t
+    def kernel(start_ref, count_ref, rows3d_hbm, out_ref, buf, sem,
+               *span_scratch):
+        # hoisted: pl.program_id may not be used inside pl.when branches
+        i0 = pl.program_id(0) * tpp
+        if span_cap and tpp > 1:
+            sbuf, ssem = span_scratch
+            last = i0 + tpp - 1
+            k0 = start_ref[i0] // CHUNK
+            k_end = (start_ref[last] + count_ref[last]
+                     + CHUNK - 1) // CHUNK                   # exclusive
+            # static-size window [k0c, k0c + span_cap), shifted down when
+            # near the end of the array (padding guarantees k0c >= 0)
+            k0c = jnp.minimum(k0, rows3d_hbm.shape[0] - span_cap)
+            fits = (k_end - k0c) <= span_cap
+
+            span_dma = pltpu.make_async_copy(
+                rows3d_hbm.at[pl.ds(k0c, span_cap)], sbuf, ssem)
+
+            @pl.when(fits)
+            def _():
+                span_dma.start()
+                span_dma.wait()
+                for t in range(tpp):
+                    _one_tile_vmem(i0, t, start_ref, count_ref, sbuf, k0c,
+                                   out_ref)
+
+            @pl.when(~fits)
+            def _():
+                for t in range(tpp):
+                    _one_tile(i0, t, start_ref, count_ref, rows3d_hbm,
+                              out_ref, buf, sem)
+        else:
+            for t in range(tpp):            # unrolled: tiles per program
+                _one_tile(i0, t, start_ref, count_ref, rows3d_hbm, out_ref,
+                          buf, sem)
+
+    def _tile_pixels(i0, t):
+        i = i0 + t
         ox = (i % tw) * tile_size
         oy = (i // tw) * tile_size
         # pixel coordinate columns [p, 1]; pixel index = y*tile + x
         pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         px = (ox + pidx % tile_size).astype(jnp.float32)
         py = (oy + pidx // tile_size).astype(jnp.float32)
+        return i, px, py
 
+    def _write_tile(t, out_ref, acc):
+        alpha_img = acc[4:5, :]                               # [1, p] = 1 - T
+        t_final = 1.0 - alpha_img
+        out_ref[t] = jnp.concatenate(
+            [acc[0:1, :] + t_final * bg[0],
+             acc[1:2, :] + t_final * bg[1],
+             acc[2:3, :] + t_final * bg[2],
+             acc[3:4, :], alpha_img,
+             jnp.zeros((3, p), jnp.float32)], axis=0)         # [8, p]
+
+    def _one_tile_vmem(i0, t, start_ref, count_ref, sbuf, k0c, out_ref):
+        i, px, py = _tile_pixels(i0, t)
         start = start_ref[i]
         count = count_ref[i]
-        astart = (start // CHUNK) * CHUNK
-        n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
+        kt = start // CHUNK                  # first chunk of this tile
+        n_chunks = (start - kt * CHUNK + count + CHUNK - 1) // CHUNK
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+        def chunk_body(state):
+            ci, trans, acc = state
+            blk = sbuf[kt - k0c + ci]                         # [16, CHUNK]
+            trans, acc = _composite_chunk(
+                blk, px, py, lane, (kt + ci) * CHUNK, start, count, trans,
+                acc)
+            return (ci + 1, trans, acc)
+
+        def chunk_cond(state):
+            ci, trans = state[0], state[1]
+            return (ci < n_chunks) & (jnp.max(trans) > TRANS_EPS)
+
+        _, _, acc = jax.lax.while_loop(
+            chunk_cond, chunk_body,
+            (0, jnp.ones((p, 1), jnp.float32), jnp.zeros((5, p), jnp.float32)))
+        _write_tile(t, out_ref, acc)
+
+    def _one_tile(i0, t, start_ref, count_ref, rows3d_hbm, out_ref, buf,
+                  sem):
+        i, px, py = _tile_pixels(i0, t)
+        start = start_ref[i]
+        count = count_ref[i]
+        kt = start // CHUNK
+        n_chunks = (start - kt * CHUNK + count + CHUNK - 1) // CHUNK
 
         def get_dma(slot, chunk_idx):
-            c0 = astart + chunk_idx * CHUNK
             return pltpu.make_async_copy(
-                rows16_hbm.at[:, pl.ds(c0, CHUNK)],
+                rows3d_hbm.at[kt + chunk_idx],
                 buf.at[slot],
                 sem.at[slot],
             )
@@ -238,46 +367,9 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
 
             get_dma(ci % 2, ci).wait()
             blk = buf[ci % 2]                                # [16, CHUNK]
-
-            gx = blk[0:1, :]                                  # [1, CHUNK]
-            gy = blk[1:2, :]
-            ca = blk[2:3, :]
-            cb = blk[3:4, :]
-            cc = blk[4:5, :]
-            op = blk[8:9, :]
-            cut = blk[10:11, :]
-
-            pos = astart + ci * CHUNK + lane                  # [1, CHUNK]
-            live = (pos >= start) & (pos < start + count)
-
-            dx = px - gx                                      # [p, CHUNK]
-            dy = py - gy
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            alpha = jnp.where(
-                (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live),
-                0.0, alpha)
-
-            # exclusive cumprod of (1 - alpha) along the instance (lane) axis
-            incl = 1.0 - alpha
-            s = 1
-            while s < CHUNK:
-                shifted = jnp.where(lane >= s, pltpu.roll(incl, s, 1), 1.0)
-                incl = incl * shifted
-                s *= 2
-            excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
-
-            w = alpha * excl * trans                          # [p, CHUNK]
-            # channels: r g b depth ones — the ones channel telescopes to
-            # sum(w) = delta of (1 - T), keeping everything lane-major
-            chans = jnp.concatenate(
-                [blk[5:8, :], blk[9:10, :], jnp.ones((1, CHUNK), jnp.float32)],
-                axis=0)                                       # [5, CHUNK]
-            acc = acc + jax.lax.dot_general(
-                chans, w, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)           # [5, p]
-            trans = trans * incl[:, CHUNK - 1:CHUNK]          # [p, 1]
+            trans, acc = _composite_chunk(
+                blk, px, py, lane, (kt + ci) * CHUNK, start, count, trans,
+                acc)
             return (ci + 1, trans, acc)
 
         def chunk_cond(state):
@@ -294,14 +386,7 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
         def _():
             get_dma(ci_end % 2, ci_end).wait()
 
-        alpha_img = acc[4:5, :]                               # [1, p] = 1 - T
-        t_final = 1.0 - alpha_img
-        out_ref[t] = jnp.concatenate(
-            [acc[0:1, :] + t_final * bg[0],
-             acc[1:2, :] + t_final * bg[1],
-             acc[2:3, :] + t_final * bg[2],
-             acc[3:4, :], alpha_img,
-             jnp.zeros((3, p), jnp.float32)], axis=0)         # [8, p]
+        _write_tile(t, out_ref, acc)
 
     return kernel
 
@@ -309,7 +394,7 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_size", "win", "bg_static",
-                     "interpret", "big_cap"),
+                     "interpret", "big_cap", "tiles_per_program", "span_cap"),
 )
 def rasterize_pallas(
     proj: ProjectedGaussians,
@@ -320,6 +405,8 @@ def rasterize_pallas(
     win: int | None = None,
     interpret: bool = False,
     big_cap: int | None = None,
+    tiles_per_program: int | None = None,
+    span_cap: int | None = None,
 ):
     """Rasterize via the Pallas tile kernel. Background is static (a python
     tuple) since it's baked into the kernel epilogue.
@@ -343,7 +430,9 @@ def rasterize_pallas(
 
     packed = sorted_pack(proj, tw, th, tile_size, win, big_cap=big_cap)
     out_t = raster_forward_tiles(packed, width, height, tile_size, bg_static,
-                                 interpret)
+                                 interpret,
+                                 tiles_per_program=tiles_per_program,
+                                 span_cap=span_cap)
     rgb, dep, acc = tiles_to_images(out_t, width, height, tile_size)
     return rgb, dep, acc, packed.aux
 
@@ -352,15 +441,18 @@ def raster_forward_tiles(packed: PackedTiles, width: int, height: int,
                          tile_size: int,
                          bg_static: tuple[float, float, float],
                          interpret: bool = False,
-                         tiles_per_program: int | None = None) -> jnp.ndarray:
+                         tiles_per_program: int | None = None,
+                         span_cap: int | None = None) -> jnp.ndarray:
     """Run the compositing kernel; returns raw tiled output
     [n_tiles, 8, tile_size^2] with channels (r, g, b, depth, alpha, 0,0,0).
 
-    ``tiles_per_program`` unrolls several tiles into one grid program.
-    Measured on the 65k/800x800 bench: tpp=8 buys only ~2% at 16px tiles
-    (the kernel is DMA-latency bound per chunk, not program bound — tiles
-    average <1 chunk so the double buffer never overlaps), so the default
-    stays 1; the knob remains for occupancy regimes where it pays.
+    ``tiles_per_program`` unrolls several tiles into one grid program; with
+    ``span_cap > 0`` the program fetches its tiles' combined instance span
+    as ONE DMA when it fits span_cap chunks (see _kernel). Plain unrolling
+    without the span path bought only ~2% on the 65k/800x800 bench (the
+    per-tile walk is DMA-latency bound and the double buffer cannot hide
+    the first chunk's latency), which is why tpp defaults to 1 unless the
+    span path is on.
     """
     tw, th = width // tile_size, height // tile_size
     n_tiles = tw * th
@@ -368,6 +460,26 @@ def raster_forward_tiles(packed: PackedTiles, width: int, height: int,
     if tiles_per_program is None or n_tiles % tiles_per_program:
         tiles_per_program = 1
     tpp = tiles_per_program
+    if span_cap is None or tpp == 1:
+        span_cap = 0
+
+    # chunk-major 3D view of the packed params: rows3d[k] is one [16, CHUNK]
+    # DMA block (sorted_pack pads B to a chunk multiple)
+    b_pad = packed.rows16.shape[1]
+    n_chunks_arr = b_pad // CHUNK
+    span_cap = min(span_cap, n_chunks_arr)
+    rows3d = packed.rows16.reshape(PACK16, n_chunks_arr, CHUNK)
+    rows3d = rows3d.transpose(1, 0, 2)
+
+    scratch_shapes = [
+        pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if span_cap:
+        scratch_shapes += [
+            pltpu.VMEM((span_cap, PACK16, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -377,20 +489,17 @@ def raster_forward_tiles(packed: PackedTiles, width: int, height: int,
             pl.BlockSpec((tpp, 8, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
     (out_t,) = pl.pallas_call(
-        _kernel(tile_size, tw, bg_static, tpp),
+        _kernel(tile_size, tw, bg_static, tpp, span_cap),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 8, p), jnp.float32),
         ],
         interpret=interpret,
-    )(packed.starts, packed.counts, packed.rows16)
+    )(packed.starts, packed.counts, rows3d)
     return out_t
 
 

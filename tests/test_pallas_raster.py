@@ -338,3 +338,31 @@ class TestMultiGroupBoundaries:
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        atol=max(5e-4 * scale, 1e-5),
                                        err_msg=name)
+
+
+class TestSpanPath:
+    """Span fast path (one DMA per multi-tile program) must be bit-identical
+    to the per-tile chunk walk: same blocks, same order, same math — only
+    the fetch strategy differs. span_cap=1 forces most programs onto the
+    overflow fallback, covering both branches."""
+
+    @pytest.mark.parametrize("tpp,span_cap", [(4, 8), (8, 16), (2, 1)])
+    def test_matches_default_walk(self, tpp, span_cap):
+        proj = project_scene(n=300, seed=3)
+        base = rasterize_pallas(proj, W, H, (1.0, 1.0, 1.0), tile_size=16,
+                                win=5, interpret=True)
+        out = rasterize_pallas(proj, W, H, (1.0, 1.0, 1.0), tile_size=16,
+                               win=5, interpret=True,
+                               tiles_per_program=tpp, span_cap=span_cap)
+        for a, b in zip(base[:3], out[:3]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_span_empty_scene(self):
+        proj = project_scene(n=16, seed=4)
+        proj = proj._replace(valid=jnp.zeros_like(proj.valid))
+        rgb, dep, acc, _ = rasterize_pallas(
+            proj, W, H, (0.25, 0.5, 0.75), tile_size=16, win=5,
+            interpret=True, tiles_per_program=4, span_cap=4)
+        np.testing.assert_allclose(np.asarray(rgb[0]), 0.25, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rgb[2]), 0.75, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-6)
