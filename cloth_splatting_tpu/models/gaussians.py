@@ -253,7 +253,8 @@ def face_rotations(mesh: Mesh, deformed_vertices: jnp.ndarray) -> jnp.ndarray:
     (edge, in-plane-perp, normal) frame. Exact for rigid face motion,
     smooth and differentiable everywhere (SVD-based Kabsch has undefined
     gradients at the repeated singular values every planar triangle
-    produces), and runs as two batched 3x3 matmuls on the MXU instead of N
+    produces), and runs as elementwise-expanded 3x3 products on the VPU
+    (full f32, fuses with neighbors; see ops/smallmat.py) instead of N
     SVDs.
     """
     from cloth_splatting_tpu.ops.quaternion import rotmat_to_quat
