@@ -107,6 +107,15 @@ def round_big_cap(n: int) -> int:
     return min(n, max(2048, n // 8))
 
 
+def choose_tpp(n_tiles: int, target: int) -> int:
+    """Largest tiles-per-program <= target that divides n_tiles (the grid
+    requires exact division); 1 when nothing else fits."""
+    for t in range(min(target, n_tiles), 1, -1):
+        if n_tiles % t == 0:
+            return t
+    return 1
+
+
 def sorted_pack(proj: ProjectedGaussians, tw: int, th: int, tile_size: int,
                 win: int, win_small: int = 2,
                 big_cap: int | None = None) -> PackedTiles:
