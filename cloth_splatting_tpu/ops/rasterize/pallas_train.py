@@ -74,6 +74,7 @@ from cloth_splatting_tpu.ops.rasterize.pallas_tiled import (
     PACK16,
     TRANS_EPS,
     PackedTiles,
+    _composite_chunk,
     raster_forward_tiles,
     sorted_pack,
     tiles_to_images,
@@ -100,58 +101,48 @@ def chunk_layout(packed: PackedTiles, n_tiles: int):
 # --------------------------------------------------------------- forward
 
 def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
-                      n_programs: int):
+                      n_programs: int, tpp: int = 1, span_cap: int = 0):
     """Serving compositing walk + group-packed transmittance-boundary
-    writes (boundary of flat chunk f lands in group f//128, lane f%128)."""
+    writes (boundary of flat chunk f lands in group f//128, lane f%128).
+
+    ``tpp``/``span_cap`` mirror the serving kernel's span fast path (one
+    DMA per multi-tile program; see pallas_tiled._kernel). The boundary
+    bookkeeping is untouched by the unroll: flat chunk indices stay
+    monotone over tiles processed in grid order, so groups still flush
+    exactly once."""
     p = tile_size * tile_size
 
-    def kernel(start_ref, count_ref, off_ref, rows16_hbm, tb_in_hbm, out_ref,
-               tb_hbm, buf, gscr, sem, fsem, cur):
+    def kernel(start_ref, count_ref, off_ref, rows3d_hbm, tb_in_hbm, out_ref,
+               tb_hbm, buf, gscr, sem, fsem, cur, *span_scratch):
         del tb_in_hbm  # zero-initialized alias of tb_hbm
-        i = pl.program_id(0)
-        ox = (i % tw) * tile_size
-        oy = (i // tw) * tile_size
-        pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-        px = (ox + pidx % tile_size).astype(jnp.float32)
-        py = (oy + pidx // tile_size).astype(jnp.float32)
+        pid = pl.program_id(0)
+        i0 = pid * tpp
 
-        start = start_ref[i]
-        count = count_ref[i]
-        off = off_ref[i]
-        astart = (start // CHUNK) * CHUNK
-        n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
-
-        @pl.when(i == 0)
+        @pl.when(pid == 0)
         def _():
             gscr[...] = jnp.zeros((p, CHUNK), jnp.float32)
             cur[0] = 0
 
-        def get_dma(slot, chunk_idx):
-            c0 = astart + chunk_idx * CHUNK
-            return pltpu.make_async_copy(
-                rows16_hbm.at[:, pl.ds(c0, CHUNK)], buf.at[slot], sem.at[slot])
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
         def flush_group(g):
             dma = pltpu.make_async_copy(gscr, tb_hbm.at[g], fsem.at[0])
             dma.start()
             dma.wait()
 
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, 0).start()
+        def tile_coords(t):
+            i = i0 + t
+            ox = (i % tw) * tile_size
+            oy = (i // tw) * tile_size
+            pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+            px = (ox + pidx % tile_size).astype(jnp.float32)
+            py = (oy + pidx // tile_size).astype(jnp.float32)
+            return i, px, py
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-
-        def chunk_body(state):
-            ci, trans, acc = state
-
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                get_dma((ci + 1) % 2, ci + 1).start()
-
-            # record T at this chunk's start into its group slot; crossing
-            # into a new group flushes the finished one (flat index is
-            # monotone across the whole sequential grid)
+        def record_boundary(off, ci, trans):
+            # T at this chunk's start goes to its group slot; crossing into
+            # a new group flushes the finished one (flat index is monotone
+            # across the whole sequential grid, including unrolled tiles)
             f = off + ci
             g = f // CHUNK
             l = f % CHUNK
@@ -164,80 +155,131 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
 
             gscr[...] = jnp.where(lane == l, trans, gscr[...])
 
-            get_dma(ci % 2, ci).wait()
-            blk = buf[ci % 2]                                # [16, CHUNK]
+        def write_out(t, acc):
+            alpha_img = acc[4:5, :]
+            t_final = 1.0 - alpha_img
+            out_ref[t] = jnp.concatenate(
+                [acc[0:1, :] + t_final * bg[0],
+                 acc[1:2, :] + t_final * bg[1],
+                 acc[2:3, :] + t_final * bg[2],
+                 acc[3:4, :], alpha_img,
+                 jnp.zeros((3, p), jnp.float32)], axis=0)
 
-            gx = blk[0:1, :]
-            gy = blk[1:2, :]
-            ca = blk[2:3, :]
-            cb = blk[3:4, :]
-            cc = blk[4:5, :]
-            op = blk[8:9, :]
-            cut = blk[10:11, :]
+        def one_tile_vmem(t, sbuf, k0c):
+            i, px, py = tile_coords(t)
+            start = start_ref[i]
+            count = count_ref[i]
+            off = off_ref[i]
+            kt = start // CHUNK
+            n_chunks = (start - kt * CHUNK + count + CHUNK - 1) // CHUNK
 
-            pos = astart + ci * CHUNK + lane
-            live = (pos >= start) & (pos < start + count)
+            def chunk_body(state):
+                ci, trans, acc = state
+                record_boundary(off, ci, trans)
+                blk = sbuf[kt - k0c + ci]
+                trans, acc = _composite_chunk(
+                    blk, px, py, lane, (kt + ci) * CHUNK, start, count,
+                    trans, acc)
+                return (ci + 1, trans, acc)
 
-            dx = px - gx
-            dy = py - gy
-            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-            alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
-            alpha = jnp.where(
-                (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live),
-                0.0, alpha)
+            def chunk_cond(state):
+                ci, trans = state[0], state[1]
+                return (ci < n_chunks) & (jnp.max(trans) > TRANS_EPS)
 
-            incl = 1.0 - alpha
-            s = 1
-            while s < CHUNK:
-                shifted = jnp.where(lane >= s, pltpu.roll(incl, s, 1), 1.0)
-                incl = incl * shifted
-                s *= 2
-            excl = jnp.where(lane >= 1, pltpu.roll(incl, 1, 1), 1.0)
+            _, _, acc = jax.lax.while_loop(
+                chunk_cond, chunk_body,
+                (0, jnp.ones((p, 1), jnp.float32),
+                 jnp.zeros((5, p), jnp.float32)))
+            write_out(t, acc)
 
-            w = alpha * excl * trans
-            chans = jnp.concatenate(
-                [blk[5:8, :], blk[9:10, :], jnp.ones((1, CHUNK), jnp.float32)],
-                axis=0)
-            acc = acc + jax.lax.dot_general(
-                chans, w, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            trans = trans * incl[:, CHUNK - 1:CHUNK]
-            return (ci + 1, trans, acc)
+        def one_tile_dma(t):
+            i, px, py = tile_coords(t)
+            start = start_ref[i]
+            count = count_ref[i]
+            off = off_ref[i]
+            kt = start // CHUNK
+            n_chunks = (start - kt * CHUNK + count + CHUNK - 1) // CHUNK
 
-        def chunk_cond(state):
-            ci, trans = state[0], state[1]
-            return (ci < n_chunks) & (jnp.max(trans) > TRANS_EPS)
+            def get_dma(slot, chunk_idx):
+                return pltpu.make_async_copy(
+                    rows3d_hbm.at[kt + chunk_idx], buf.at[slot],
+                    sem.at[slot])
 
-        ci_end, trans, acc = jax.lax.while_loop(
-            chunk_cond, chunk_body,
-            (0, jnp.ones((p, 1), jnp.float32), jnp.zeros((5, p), jnp.float32)))
+            @pl.when(n_chunks > 0)
+            def _():
+                get_dma(0, 0).start()
 
-        # drain the prefetched chunk an early exit can leave in flight
-        @pl.when((ci_end < n_chunks) & (n_chunks > 0))
-        def _():
-            get_dma(ci_end % 2, ci_end).wait()
+            def chunk_body(state):
+                ci, trans, acc = state
+
+                @pl.when(ci + 1 < n_chunks)
+                def _():
+                    get_dma((ci + 1) % 2, ci + 1).start()
+
+                record_boundary(off, ci, trans)
+                get_dma(ci % 2, ci).wait()
+                blk = buf[ci % 2]                                # [16, CHUNK]
+                trans, acc = _composite_chunk(
+                    blk, px, py, lane, (kt + ci) * CHUNK, start, count,
+                    trans, acc)
+                return (ci + 1, trans, acc)
+
+            def chunk_cond(state):
+                ci, trans = state[0], state[1]
+                return (ci < n_chunks) & (jnp.max(trans) > TRANS_EPS)
+
+            ci_end, trans, acc = jax.lax.while_loop(
+                chunk_cond, chunk_body,
+                (0, jnp.ones((p, 1), jnp.float32),
+                 jnp.zeros((5, p), jnp.float32)))
+
+            # drain the prefetched chunk an early exit can leave in flight
+            @pl.when((ci_end < n_chunks) & (n_chunks > 0))
+            def _():
+                get_dma(ci_end % 2, ci_end).wait()
+
+            write_out(t, acc)
+
+        if span_cap and tpp > 1:
+            sbuf, ssem = span_scratch
+            last = i0 + tpp - 1
+            k0 = start_ref[i0] // CHUNK
+            k_end = (start_ref[last] + count_ref[last]
+                     + CHUNK - 1) // CHUNK                   # exclusive
+            k0c = jnp.minimum(k0, rows3d_hbm.shape[0] - span_cap)
+            fits = (k_end - k0c) <= span_cap
+
+            span_dma = pltpu.make_async_copy(
+                rows3d_hbm.at[pl.ds(k0c, span_cap)], sbuf, ssem)
+
+            @pl.when(fits)
+            def _():
+                span_dma.start()
+                span_dma.wait()
+                for t in range(tpp):
+                    one_tile_vmem(t, sbuf, k0c)
+
+            @pl.when(~fits)
+            def _():
+                for t in range(tpp):
+                    one_tile_dma(t)
+        else:
+            for t in range(tpp):
+                one_tile_dma(t)
 
         # last program flushes the in-progress group
-        @pl.when(i == n_programs - 1)
+        @pl.when(pid == n_programs - 1)
         def _():
             flush_group(cur[0])
-
-        alpha_img = acc[4:5, :]
-        t_final = 1.0 - alpha_img
-        out_ref[0] = jnp.concatenate(
-            [acc[0:1, :] + t_final * bg[0],
-             acc[1:2, :] + t_final * bg[1],
-             acc[2:3, :] + t_final * bg[2],
-             acc[3:4, :], alpha_img,
-             jnp.zeros((3, p), jnp.float32)], axis=0)
 
     return kernel
 
 
 def raster_forward_train(packed: PackedTiles, width: int, height: int,
                          tile_size: int, bg: tuple[float, float, float],
-                         interpret: bool):
+                         interpret: bool,
+                         tiles_per_program: int | None = None,
+                         span_cap: int | None = None):
     """Forward walk that also records per-chunk transmittance boundaries.
 
     Returns (out_t [n_tiles, 8, p], tbounds [n_groups, p, 128]) where the
@@ -251,38 +293,57 @@ def raster_forward_train(packed: PackedTiles, width: int, height: int,
     offsets, bound = chunk_layout(packed, n_tiles)
     n_groups = (bound + CHUNK - 1) // CHUNK
 
+    if tiles_per_program is None or n_tiles % tiles_per_program:
+        tiles_per_program = 1
+    tpp = tiles_per_program
+    if span_cap is None or tpp == 1:
+        span_cap = 0
+
+    b_pad = packed.rows16.shape[1]
+    n_chunks_arr = b_pad // CHUNK
+    span_cap = min(span_cap, n_chunks_arr)
+    rows3d = packed.rows16.reshape(PACK16, n_chunks_arr, CHUNK)
+    rows3d = rows3d.transpose(1, 0, 2)
+
+    scratch_shapes = [
+        pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+        pltpu.VMEM((p, CHUNK), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+    if span_cap:
+        scratch_shapes += [
+            pltpu.VMEM((span_cap, PACK16, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        grid=(n_tiles // tpp,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                 # rows16
+            pl.BlockSpec(memory_space=pl.ANY),                 # rows3d
             pl.BlockSpec(memory_space=pl.ANY),                 # tbounds alias
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, p), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((tpp, 8, p), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),                 # tbounds
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
-            pltpu.VMEM((p, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     tb_zeros = jnp.zeros((n_groups, p, CHUNK), jnp.float32)
     out_t, tbounds = pl.pallas_call(
-        _fwd_train_kernel(tile_size, tw, bg, n_tiles),
+        _fwd_train_kernel(tile_size, tw, bg, n_tiles // tpp, tpp, span_cap),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, 8, p), jnp.float32),
             jax.ShapeDtypeStruct((n_groups, p, CHUNK), jnp.float32),
         ],
-        # inputs incl. 3 scalar-prefetch args: rows16 is 3, tb_zeros is 4
+        # inputs incl. 3 scalar-prefetch args: rows3d is 3, tb_zeros is 4
         input_output_aliases={4: 1},
         interpret=interpret,
-    )(packed.starts, packed.counts, offsets, packed.rows16, tb_zeros)
+    )(packed.starts, packed.counts, offsets, rows3d, tb_zeros)
     return out_t, tbounds
 
 
@@ -552,7 +613,9 @@ def make_pallas_renderer(width: int, height: int,
                          bg_static: tuple[float, float, float],
                          tile_size: int = 16, win: int = 5,
                          big_cap: int | None = None,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         tiles_per_program: int | None = None,
+                         span_cap: int | None = None):
     """A differentiable rasterizer closure with a Pallas forward AND
     backward. Returns fn(xy, depth, conic, color, opacity, valid, power_cut,
     radius) -> (rgb, depth_img, alpha_img)."""
@@ -575,8 +638,9 @@ def make_pallas_renderer(width: int, height: int,
     def fwd(xy, depth, conic, color, opacity, valid, power_cut, radius):
         packed = _pack(xy, depth, conic, color, opacity, valid, power_cut,
                        radius)
-        out_t, tbounds = raster_forward_train(packed, width, height,
-                                              tile_size, bg_static, interpret)
+        out_t, tbounds = raster_forward_train(
+            packed, width, height, tile_size, bg_static, interpret,
+            tiles_per_program=tiles_per_program, span_cap=span_cap)
         images = tiles_to_images(out_t, width, height, tile_size)
         n = xy.shape[0]
         acc = images[2]
@@ -610,7 +674,9 @@ def rasterize_pallas_grad(proj: ProjectedGaussians, width: int, height: int,
                           bg_static: tuple[float, float, float],
                           tile_size: int | None = None, win: int | None = None,
                           big_cap: int | None = None,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          tiles_per_program: int | None = None,
+                          span_cap: int | None = None):
     """Differentiable Pallas rasterization of a ProjectedGaussians bundle.
 
     Gradients flow to xy, depth, conic, color and opacity; radius/valid/
@@ -628,6 +694,6 @@ def rasterize_pallas_grad(proj: ProjectedGaussians, width: int, height: int,
     if win is None:
         win = 5 if tile_size == 16 else 3
     fn = make_pallas_renderer(width, height, bg_static, tile_size, win,
-                              big_cap, interpret)
+                              big_cap, interpret, tiles_per_program, span_cap)
     return fn(proj.xy, proj.depth, proj.conic, proj.color, proj.opacity,
               proj.valid, proj.power_cut, proj.radius)

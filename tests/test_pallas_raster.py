@@ -366,3 +366,36 @@ class TestSpanPath:
         np.testing.assert_allclose(np.asarray(rgb[0]), 0.25, atol=1e-6)
         np.testing.assert_allclose(np.asarray(rgb[2]), 0.75, atol=1e-6)
         np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-6)
+
+
+class TestTrainSpanPath:
+    """The train-forward span path must leave values AND gradients
+    bit-identical: same chunk math, same transmittance-boundary saves
+    feeding the unchanged backward kernel."""
+
+    @pytest.mark.parametrize("tpp,span_cap", [(4, 8), (2, 1)])
+    def test_value_and_grads_identical(self, tpp, span_cap):
+        import jax
+        from cloth_splatting_tpu.ops.rasterize.pallas_train import (
+            rasterize_pallas_grad,
+        )
+
+        proj = project_scene(n=250, seed=6)
+
+        def make_loss(t, c):
+            def f(xy, conic, color, op):
+                p = proj._replace(xy=xy, conic=conic, color=color, opacity=op)
+                rgb, dep, acc = rasterize_pallas_grad(
+                    p, W, H, (1.0, 1.0, 1.0), tile_size=16, win=5,
+                    interpret=True, tiles_per_program=t, span_cap=c)
+                return rgb.mean() + 0.3 * dep.mean() + 0.1 * acc.mean()
+            return f
+
+        args = (proj.xy, proj.conic, proj.color, proj.opacity)
+        v0, g0 = jax.value_and_grad(make_loss(None, None),
+                                    argnums=(0, 1, 2, 3))(*args)
+        v1, g1 = jax.value_and_grad(make_loss(tpp, span_cap),
+                                    argnums=(0, 1, 2, 3))(*args)
+        assert float(v0) == float(v1)
+        for a, b in zip(g0, g1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
