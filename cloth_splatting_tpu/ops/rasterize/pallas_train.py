@@ -349,78 +349,47 @@ def raster_forward_train(packed: PackedTiles, width: int, height: int,
 
 # --------------------------------------------------------------- backward
 
-def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
+def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
+                tpp: int = 1, span_cap: int = 0):
+    """Reverse-sweep gradient kernel.
+
+    ``tpp``/``span_cap`` mirror the forward's span fast path, and pay off
+    even more here: the per-chunk walk serializes THREE DMA waits per tile
+    (row read + gradient read-back/write-back), where the span path does
+    one row-span read, one gradient-span read, and one gradient-span write
+    per PROGRAM. Gradient accumulation order is preserved exactly — the
+    old path accumulates a shared chunk as (earlier tile's value) + (this
+    tile's block) through HBM read-modify-write, the span path as the same
+    left-to-right sum in VMEM — so outputs stay bit-identical."""
     p = tile_size * tile_size
 
-    def kernel(start_ref, count_ref, off_ref, rows16_hbm, gimg_ref, tb_hbm,
-               grads_in_hbm, grads_hbm, buf, gbuf, gout, sem, gbsem, osem,
-               cur):
-        # grads_in_hbm is the zero-initialized alias of grads_hbm; all
+    def kernel(start_ref, count_ref, off_ref, rows3d_hbm, gimg_ref, tb_hbm,
+               grads_in_hbm, grads3d_hbm, buf, gbuf, gout, sem, gbsem, osem,
+               cur, *span_scratch):
+        # grads_in_hbm is the zero-initialized alias of grads3d_hbm; all
         # traffic goes through the output ref (same memory)
         del grads_in_hbm
-        i = pl.program_id(0)
+        pid = pl.program_id(0)
+        i0 = pid * tpp
         # tile-local pixel coordinates, centered to keep moments conditioned
         half = tile_size / 2.0
         pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         px = (pidx % tile_size).astype(jnp.float32) - half
         py = (pidx // tile_size).astype(jnp.float32) - half
-        ox = (i % tw) * tile_size + half
-        oy = (i // tw) * tile_size + half
-
-        start = start_ref[i]
-        count = count_ref[i]
-        off = off_ref[i]
-        astart = (start // CHUNK) * CHUNK
-        n_chunks = (start - astart + count + CHUNK - 1) // CHUNK
-
-        @pl.when(i == 0)
-        def _():
-            cur[0] = -1  # no group cached yet
-
-        g_r = gimg_ref[0, :, 0:1]                           # [p, 1]
-        g_g = gimg_ref[0, :, 1:2]
-        g_b = gimg_ref[0, :, 2:3]
-        g_d = gimg_ref[0, :, 3:4]
-        g_a = gimg_ref[0, :, 4:5]
-        t_fin = 1.0 - gimg_ref[0, :, 5:6]                   # T_N = 1 - acc
-        kk = (g_a - (g_r * bg[0] + g_g * bg[1] + g_b * bg[2])) * t_fin
-        g4 = gimg_ref[0, :, 0:4]                            # [p, 4]
         p6 = jnp.concatenate(
             [jnp.ones((p, 1), jnp.float32), px, py, px * px, px * py, py * py],
             axis=1)                                         # [p, 6]
 
-        def get_dma(slot, chunk_idx):
-            c0 = astart + chunk_idx * CHUNK
-            return pltpu.make_async_copy(
-                rows16_hbm.at[:, pl.ds(c0, CHUNK)], buf.at[slot], sem.at[slot])
-
-        def put_dma(slot, chunk_idx):
-            c0 = astart + chunk_idx * CHUNK
-            return pltpu.make_async_copy(
-                gout.at[slot], grads_hbm.at[:, pl.ds(c0, CHUNK)], osem.at[slot])
-
-        def read_back_dma(slot, chunk_idx):
-            c0 = astart + chunk_idx * CHUNK
-            return pltpu.make_async_copy(
-                grads_hbm.at[:, pl.ds(c0, CHUNK)], gout.at[slot], osem.at[slot])
+        @pl.when(pid == 0)
+        def _():
+            cur[0] = -1  # no group cached yet
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-        # single REVERSE sweep: k = 0..n_chunks-1 processes ci = last..0
-        @pl.when(n_chunks > 0)
-        def _():
-            get_dma(0, n_chunks - 1).start()
-
-        def sweep(k, s_carry):
-            ci = n_chunks - 1 - k
-
-            @pl.when(ci >= 1)
-            def _():
-                get_dma((k + 1) % 2, ci - 1).start()
-
+        def fetch_boundary(off, ci):
             # boundary of flat chunk f sits in group f//128 at lane f%128;
-            # tiles walk flat indices monotonically so the cached group
-            # block usually survives many tiles
+            # tiles walk flat indices near-monotonically so the cached
+            # group block usually survives many tiles
             f = off + ci
             g = f // CHUNK
             l = f % CHUNK
@@ -432,15 +401,27 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
                 dma.wait()
                 cur[0] = g
 
-            t_start = jnp.sum(
+            return jnp.sum(
                 jnp.where(lane == l, gbuf[...], 0.0), axis=1, keepdims=True)
-            # boundary all-zero <=> the forward's early exit never started
-            # this chunk: its instances contributed < TRANS_EPS, skip
-            started = jnp.max(t_start) > 0.0
 
-            get_dma(k % 2, ci).wait()
-            blk = buf[k % 2]
+        def tile_fields(t):
+            i = i0 + t
+            ox = (i % tw) * tile_size + half
+            oy = (i // tw) * tile_size + half
+            g_r = gimg_ref[t, :, 0:1]                       # [p, 1]
+            g_g = gimg_ref[t, :, 1:2]
+            g_b = gimg_ref[t, :, 2:3]
+            g_d = gimg_ref[t, :, 3:4]
+            g_a = gimg_ref[t, :, 4:5]
+            t_fin = 1.0 - gimg_ref[t, :, 5:6]               # T_N = 1 - acc
+            kk = (g_a - (g_r * bg[0] + g_g * bg[1] + g_b * bg[2])) * t_fin
+            g4 = gimg_ref[t, :, 0:4]                        # [p, 4]
+            return i, ox, oy, (g_r, g_g, g_b, g_d, g4, kk)
 
+        def chunk_grads(blk, ox, oy, fields, posbase, start, count, t_start,
+                        s_carry):
+            """Gradient block [16, CHUNK] + this chunk's suffix total."""
+            g_r, g_g, g_b, g_d, g4, kk = fields
             gx = blk[0:1, :] - ox                           # tile-local
             gy = blk[1:2, :] - oy
             ca = blk[2:3, :]
@@ -448,7 +429,7 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
             cc = blk[4:5, :]
             op = blk[8:9, :]
             cut = blk[10:11, :]
-            pos = astart + ci * CHUNK + lane
+            pos = posbase + lane
             live = (pos >= start) & (pos < start + count)
             dx = px - gx
             dy = py - gy
@@ -523,30 +504,148 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
                  cg[0:1], cg[1:2], cg[2:3], dop, cg[3:4],
                  zero, zero, zero, zero, zero, zero], axis=0)  # [16, CHUNK]
             gblk = jnp.where(live, gblk, 0.0)
+            return gblk, chunk_total
 
-            oslot = k % 2
-            # lowest-address chunk may share rows with the previous tile's
-            # tail (flushed earlier — the grid is sequential): accumulate
-            is_boundary = (ci == 0) & (astart < start)
+        def one_tile_dma(t):
+            i, ox, oy, fields = tile_fields(t)
+            start = start_ref[i]
+            count = count_ref[i]
+            off = off_ref[i]
+            kt = start // CHUNK
+            n_chunks = (start - kt * CHUNK + count + CHUNK - 1) // CHUNK
 
-            @pl.when(started & is_boundary)
+            def get_dma(slot, chunk_idx):
+                return pltpu.make_async_copy(
+                    rows3d_hbm.at[kt + chunk_idx], buf.at[slot],
+                    sem.at[slot])
+
+            def put_dma(slot, chunk_idx):
+                return pltpu.make_async_copy(
+                    gout.at[slot], grads3d_hbm.at[kt + chunk_idx],
+                    osem.at[slot])
+
+            def read_back_dma(slot, chunk_idx):
+                return pltpu.make_async_copy(
+                    grads3d_hbm.at[kt + chunk_idx], gout.at[slot],
+                    osem.at[slot])
+
+            # single REVERSE sweep: k = 0..n_chunks-1 processes ci = last..0
+            @pl.when(n_chunks > 0)
             def _():
-                read_back_dma(oslot, ci).start()
-                read_back_dma(oslot, ci).wait()
-                gout[oslot] = gout[oslot] + gblk
+                get_dma(0, n_chunks - 1).start()
 
-            @pl.when(started & ~is_boundary)
+            def sweep(k, s_carry):
+                ci = n_chunks - 1 - k
+
+                @pl.when(ci >= 1)
+                def _():
+                    get_dma((k + 1) % 2, ci - 1).start()
+
+                t_start = fetch_boundary(off, ci)
+                # boundary all-zero <=> the forward's early exit never
+                # started this chunk: its instances contributed < TRANS_EPS
+                started = jnp.max(t_start) > 0.0
+
+                get_dma(k % 2, ci).wait()
+                blk = buf[k % 2]
+                gblk, chunk_total = chunk_grads(
+                    blk, ox, oy, fields, (kt + ci) * CHUNK, start, count,
+                    t_start, s_carry)
+
+                oslot = k % 2
+                # lowest-address chunk may share rows with the previous
+                # tile's tail (flushed earlier — the grid is sequential):
+                # accumulate
+                is_boundary = (ci == 0) & (kt * CHUNK < start)
+
+                @pl.when(started & is_boundary)
+                def _():
+                    read_back_dma(oslot, ci).start()
+                    read_back_dma(oslot, ci).wait()
+                    gout[oslot] = gout[oslot] + gblk
+
+                @pl.when(started & ~is_boundary)
+                def _():
+                    gout[oslot] = gblk
+
+                @pl.when(started)
+                def _():
+                    put_dma(oslot, ci).start()
+                    put_dma(oslot, ci).wait()
+
+                return s_carry + jnp.where(started, chunk_total, 0.0)
+
+            jax.lax.fori_loop(0, n_chunks, sweep,
+                              jnp.zeros((p, 1), jnp.float32))
+
+        def one_tile_vmem(t, sbuf, gspan, k0c):
+            i, ox, oy, fields = tile_fields(t)
+            start = start_ref[i]
+            count = count_ref[i]
+            off = off_ref[i]
+            kt = start // CHUNK
+            n_chunks = (start - kt * CHUNK + count + CHUNK - 1) // CHUNK
+
+            def sweep(k, s_carry):
+                ci = n_chunks - 1 - k
+                t_start = fetch_boundary(off, ci)
+                started = jnp.max(t_start) > 0.0
+                rel = kt - k0c + ci
+                blk = sbuf[rel]
+                gblk, chunk_total = chunk_grads(
+                    blk, ox, oy, fields, (kt + ci) * CHUNK, start, count,
+                    t_start, s_carry)
+
+                # same left-to-right accumulation order as the HBM
+                # read-modify-write path: earlier tiles' blocks (already in
+                # gspan, read back from HBM or added by this program) come
+                # first in the sum
+                @pl.when(started)
+                def _():
+                    gspan[rel] = gspan[rel] + gblk
+
+                return s_carry + jnp.where(started, chunk_total, 0.0)
+
+            jax.lax.fori_loop(0, n_chunks, sweep,
+                              jnp.zeros((p, 1), jnp.float32))
+
+        if span_cap and tpp > 1:
+            sbuf, gspan, ssem, gssem = span_scratch
+            last = i0 + tpp - 1
+            k0 = start_ref[i0] // CHUNK
+            k_end = (start_ref[last] + count_ref[last]
+                     + CHUNK - 1) // CHUNK                   # exclusive
+            k0c = jnp.minimum(k0, rows3d_hbm.shape[0] - span_cap)
+            fits = (k_end - k0c) <= span_cap
+
+            rows_rd = pltpu.make_async_copy(
+                rows3d_hbm.at[pl.ds(k0c, span_cap)], sbuf, ssem)
+            grads_rd = pltpu.make_async_copy(
+                grads3d_hbm.at[pl.ds(k0c, span_cap)], gspan, gssem)
+            grads_wr = pltpu.make_async_copy(
+                gspan, grads3d_hbm.at[pl.ds(k0c, span_cap)], gssem)
+
+            @pl.when(fits)
             def _():
-                gout[oslot] = gblk
+                rows_rd.start()
+                grads_rd.start()
+                rows_rd.wait()
+                grads_rd.wait()
+                for t in range(tpp):
+                    one_tile_vmem(t, sbuf, gspan, k0c)
+                # untouched chunks in the window are written back with the
+                # values just read (the grid is sequential, so nothing can
+                # have written them in between)
+                grads_wr.start()
+                grads_wr.wait()
 
-            @pl.when(started)
+            @pl.when(~fits)
             def _():
-                put_dma(oslot, ci).start()
-                put_dma(oslot, ci).wait()
-
-            return s_carry + jnp.where(started, chunk_total, 0.0)
-
-        jax.lax.fori_loop(0, n_chunks, sweep, jnp.zeros((p, 1), jnp.float32))
+                for t in range(tpp):
+                    one_tile_dma(t)
+        else:
+            for t in range(tpp):
+                one_tile_dma(t)
 
     return kernel
 
@@ -554,7 +653,9 @@ def _bwd_kernel(tile_size: int, tw: int, bg: tuple[float, float, float]):
 def _run_backward(packed: PackedTiles, gimg_t: jnp.ndarray,
                   tbounds: jnp.ndarray, width: int, height: int,
                   tile_size: int, bg: tuple[float, float, float],
-                  interpret: bool) -> jnp.ndarray:
+                  interpret: bool,
+                  tiles_per_program: int | None = None,
+                  span_cap: int | None = None) -> jnp.ndarray:
     """Returns per-instance grads, param-major [16, B_pad]."""
     tw, th = width // tile_size, height // tile_size
     n_tiles = tw * th
@@ -562,40 +663,61 @@ def _run_backward(packed: PackedTiles, gimg_t: jnp.ndarray,
     b_pad = packed.rows16.shape[1]
     offsets, _ = chunk_layout(packed, n_tiles)
 
+    if tiles_per_program is None or n_tiles % tiles_per_program:
+        tiles_per_program = 1
+    tpp = tiles_per_program
+    if span_cap is None or tpp == 1:
+        span_cap = 0
+
+    n_chunks_arr = b_pad // CHUNK
+    span_cap = min(span_cap, n_chunks_arr)
+    rows3d = packed.rows16.reshape(PACK16, n_chunks_arr, CHUNK)
+    rows3d = rows3d.transpose(1, 0, 2)
+
+    scratch_shapes = [
+        pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+        pltpu.VMEM((p, CHUNK), jnp.float32),
+        pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+    if span_cap:
+        scratch_shapes += [
+            pltpu.VMEM((span_cap, PACK16, CHUNK), jnp.float32),
+            pltpu.VMEM((span_cap, PACK16, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n_tiles,),
+        grid=(n_tiles // tpp,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                 # rows16
-            pl.BlockSpec((1, p, GCH), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec(memory_space=pl.ANY),                 # rows3d
+            pl.BlockSpec((tpp, p, GCH), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # grad images
             pl.BlockSpec(memory_space=pl.ANY),                 # tbounds
             pl.BlockSpec(memory_space=pl.ANY),                 # grads in/out
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        scratch_shapes=[
-            pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
-            pltpu.VMEM((p, CHUNK), jnp.float32),
-            pltpu.VMEM((2, PACK16, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
-    zeros = jnp.zeros((PACK16, b_pad), jnp.float32)
-    (grads16,) = pl.pallas_call(
-        _bwd_kernel(tile_size, tw, bg),
+    zeros = jnp.zeros((n_chunks_arr, PACK16, CHUNK), jnp.float32)
+    (grads3d,) = pl.pallas_call(
+        _bwd_kernel(tile_size, tw, bg, tpp, span_cap),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((PACK16, b_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((n_chunks_arr, PACK16, CHUNK),
+                                        jnp.float32)],
         # aliases index ALL inputs incl. scalar-prefetch: the zeros buffer
         # (input 6) IS the output, so untouched regions stay zero
         input_output_aliases={6: 0},
         interpret=interpret,
-    )(packed.starts, packed.counts, offsets, packed.rows16, gimg_t, tbounds,
+    )(packed.starts, packed.counts, offsets, rows3d, gimg_t, tbounds,
       zeros)
-    return grads16
+    return grads3d.transpose(1, 0, 2).reshape(PACK16, b_pad)
 
 
 def _images_to_tiles(img: jnp.ndarray, width: int, height: int,
@@ -654,7 +776,9 @@ def make_pallas_renderer(width: int, height: int,
              jnp.zeros((GCH - 6, height, width), jnp.float32)], axis=0)
         gimg_t = _images_to_tiles(gimg, width, height, tile_size)
         grads16 = _run_backward(packed, gimg_t, tbounds, width, height,
-                                tile_size, bg_static, interpret)
+                                tile_size, bg_static, interpret,
+                                tiles_per_program=tiles_per_program,
+                                span_cap=span_cap)
         # reduce instances -> gaussians (sentinel id n catches dead slots)
         per_inst = grads16.T                                  # [B_pad, 16]
         per_gauss = jax.ops.segment_sum(

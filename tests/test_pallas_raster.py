@@ -399,3 +399,32 @@ class TestTrainSpanPath:
         assert float(v0) == float(v1)
         for a, b in zip(g0, g1):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    @pytest.mark.parametrize("tpp,span_cap", [(4, 8)])
+    def test_backward_span_shared_chunk_accumulation(self, tpp, span_cap):
+        """Dense overlapping scene: many tiles share boundary chunks, so the
+        span path's VMEM accumulation must reproduce the HBM
+        read-modify-write exactly."""
+        import jax
+        from cloth_splatting_tpu.ops.rasterize.pallas_train import (
+            rasterize_pallas_grad,
+        )
+
+        proj = project_scene(n=600, seed=9)
+
+        def make_loss(t, c):
+            def f(xy, color, op):
+                p = proj._replace(xy=xy, color=color, opacity=op)
+                rgb, dep, acc = rasterize_pallas_grad(
+                    p, W, H, (0.0, 0.0, 0.0), tile_size=16, win=5,
+                    interpret=True, tiles_per_program=t, span_cap=c)
+                return (rgb * rgb).mean() + dep.mean()
+            return f
+
+        args = (proj.xy, proj.color, proj.opacity)
+        _, g0 = jax.value_and_grad(make_loss(None, None),
+                                   argnums=(0, 1, 2))(*args)
+        _, g1 = jax.value_and_grad(make_loss(tpp, span_cap),
+                                   argnums=(0, 1, 2))(*args)
+        for a, b in zip(g0, g1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
