@@ -12,9 +12,11 @@ Serving/benchmark tier. Two stages, both shaped by measured TPU costs:
    counting-rank + row-scatter design cost 60 + 190 ms at 65k Gaussians
    where this sort costs single-digit ms.
 
-2. ``_kernel`` (Pallas): grid over tiles; each step double-buffers
-   128-instance parameter chunks from HBM (param-major [16, B] layout so
-   every DMA is a lane-aligned [16, 128] block) and composites them
+2. ``_kernel`` (Pallas): grid over tiles (optionally several tiles per
+   program — their CONTIGUOUS instance span can then be fetched as ONE
+   DMA, see the span fast path in ``_kernel``); each tile walk reads
+   128-instance parameter chunks (chunk-major [n_chunks, 16, 128] layout
+   so every DMA is a lane-aligned [16, 128] block) and composites them
    VECTORIZED: alpha for all 128 instances against all 256 pixels as one
    [256, 128] VPU batch, front-to-back order enforced by a log-step
    exclusive cumprod of (1 - alpha) along the instance (lane) axis, and the
