@@ -128,8 +128,6 @@ def make_pallas_sharded_splat_step(trainer, mesh: Mesh, sh_degree: int,
     kNN regularizers are not supported on this path (their neighborhoods are
     capacity-global); use the GSPMD tiled step for kNN-regularized configs.
     """
-    from jax.experimental.shard_map import shard_map
-
     from cloth_splatting_tpu.models import gaussians as G
     from cloth_splatting_tpu.ops.image import psnr
     from cloth_splatting_tpu.render import RenderOutput, render
@@ -232,13 +230,194 @@ def make_pallas_sharded_splat_step(trainer, mesh: Mesh, sh_degree: int,
         return new_state, metrics
 
     specs = splat_state_specs(state_template)
-    mapped = shard_map(
+    mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(specs, P("data"), P("data")),
         out_specs=(specs, P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_banked_sharded_step(trainer, mesh: Mesh, sh_degree: int,
+                             static: bool, state_template, n_cams: int,
+                             has_masks: bool, use_knn: bool):
+    """The FULL-FEATURE sharded banked train step — the one `train_scene
+    --device_mesh` runs every iteration.
+
+    Same collective skeleton as ``make_pallas_sharded_splat_step`` (explicit
+    shard_map, model-axis all-gather of the projection bundle whose autodiff
+    transpose is the gradient reduce-scatter, data-axis psum), plus
+    everything a real training run needs:
+
+      * **bank addressing inside jit**: cameras/GT/masks live in replicated
+        on-device (view x time) banks; each step slices its batch by
+        (view_idx, time_ids) with zero host->device transfer;
+      * **camera-batch padding**: the batch is padded to a multiple of the
+        data-axis size by REPEATING cameras, and the padded frames are cut
+        after the image all-gather — the pad camera's image gets a zero
+        cotangent, so gradients are exactly the unpadded batch's (static
+        stage B=1 and 3-step batches work on any mesh shape);
+      * **exact batch loss**: rendered frames are all-gathered over 'data'
+        (a few MB — rasterization dominates, the loss doesn't) and the loss
+        is computed on the full batch with the UNSHARDED code path
+        (image_losses incl. masks, regularization, knn_regularization), so
+        sharded == unsharded numerics hold with masks and kNN active;
+      * **kNN regularizers** (VERDICT r2 item 4): deformed means/rotations
+        are all-gathered over 'data' then 'model' (16 B + 16 B per Gaussian
+        — the positions are tiny next to the image tensors) and the
+        capacity-global kNN terms run replicated against a replicated
+        KnnState;
+      * **device-resident EMA carry** (train/step.py StepCarry), threaded in
+        the jit wrapper outside the shard_map.
+
+    Returns step(state, cam_bank, gt_bank, mask_bank, view_idx, time_ids,
+    knn_state, carry) -> (state, metrics, carry).
+    """
+    from cloth_splatting_tpu.models import gaussians as G
+    from cloth_splatting_tpu.ops.image import psnr
+    from cloth_splatting_tpu.render import RenderOutput, render
+    from cloth_splatting_tpu.train.losses import (
+        image_losses,
+        knn_regularization,
+        regularization,
+    )
+    from cloth_splatting_tpu.train.step import (
+        SplatTrainState,
+        StepCarry,
+        StepMetrics,
+    )
+
+    o = trainer.cfg.opt
+    d_rows, m_cols = mesh.devices.shape
+    scale = float(d_rows * m_cols)
+    pad = (-n_cams) % d_rows
+
+    def local_step(state, cams, gts, masks, knn_state):
+        # cams: LOCAL [(n_cams+pad)/D, ...] rows; gts/masks/knn: replicated
+        cap = state.params.face_bary.shape[0]       # LOCAL capacity shard
+
+        def loss_fn(params, sim_params, screen_offset):
+            def render_one(cam):
+                return render(
+                    cam, trainer.width, trainer.height, trainer.tanfovx,
+                    trainer.tanfovy, params, state.gstate, trainer.mesh,
+                    sim_params, trainer.mesh_predictions, trainer.bg_color,
+                    sh_degree, screen_offset=screen_offset,
+                    render_static=static, k_cap=o.raster_k_cap,
+                    k_chunk=min(o.raster_k_chunk, o.raster_k_cap),
+                    backend=trainer.backend, bg_static=trainer.bg_static,
+                    gather_axis="model",
+                )
+
+            outs: RenderOutput = jax.lax.map(render_one, cams)
+            # full-batch stacks: gather the camera rows, cut the padding
+            images = jax.lax.all_gather(outs.rgb, "data", tiled=True)[:n_cams]
+            verts = jax.lax.all_gather(outs.vertices, "data",
+                                       tiled=True)[:n_cams]
+            img_loss, ldict = image_losses(images, gts, o.lambda_dssim,
+                                           masks if has_masks else None)
+            loss = img_loss + regularization(
+                verts, trainer.mesh, o.lambda_deform_mag, o.lambda_rigid,
+                o.lambda_momentum, static)
+            if use_knn:
+                means = jax.lax.all_gather(outs.means3d, "data",
+                                           tiled=True)[:n_cams]
+                means = jax.lax.all_gather(means, "model", axis=1, tiled=True)
+                rots = jax.lax.all_gather(outs.rotations, "data",
+                                          tiled=True)[:n_cams]
+                rots = jax.lax.all_gather(rots, "model", axis=1, tiled=True)
+                loss = loss + knn_regularization(
+                    means, rots, knn_state, o.lambda_isometric,
+                    o.lambda_spring, o.lambda_rigidity)
+            # every device computes a 1/(D*M) share of the (replicated) batch
+            # loss; see make_pallas_sharded_splat_step for why this scale
+            # makes both psums and the gather transposes exact
+            local = loss / scale
+            aux = {
+                "psnr": jnp.mean(psnr(images, gts)) / scale,
+                "l1": ldict["l1"] / scale,
+                "radii": jnp.max(outs.radii, axis=0),            # [C_local]
+                "visibility": jnp.any(outs.visibility, axis=0),
+                "n_dropped": jnp.sum(outs.n_dropped),
+            }
+            return local, aux
+
+        screen_offset = jnp.zeros((cap, 2), jnp.float32)
+        (local_loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, state.sim_params, screen_offset)
+        g_grads, sim_grads, screen_grad = grads
+
+        g_grads = jax.lax.psum(g_grads, "data")
+        screen_grad = jax.lax.psum(screen_grad, "data")
+        loss = jax.lax.psum(local_loss, ("data", "model"))
+        sim_grads = jax.lax.psum(sim_grads, ("data", "model"))
+        psnr_v = jax.lax.psum(aux["psnr"], ("data", "model"))
+        l1 = jax.lax.psum(aux["l1"], ("data", "model"))
+        radii = jax.lax.pmax(aux["radii"], "data")
+        visibility = jax.lax.pmax(aux["visibility"].astype(jnp.int32),
+                                  "data") > 0
+        n_dropped = jax.lax.psum(aux["n_dropped"], ("data", "model"))
+
+        xy_grad_norm = jnp.linalg.norm(screen_grad, axis=-1)
+        gstate = G.add_densification_stats(state.gstate, xy_grad_norm,
+                                           radii, visibility)
+
+        g_updates, g_opt = trainer.g_tx.update(g_grads, state.g_opt,
+                                               state.params)
+        lr_tree = trainer._lr_tree(state.step)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u, lr: p - lr * u, state.params, g_updates, lr_tree)
+
+        sim_updates, sim_opt = trainer.sim_tx.update(sim_grads,
+                                                     state.sim_opt,
+                                                     state.sim_params)
+        if static:
+            new_sim = state.sim_params
+            sim_opt = state.sim_opt
+        else:
+            sim_lr = trainer.cfg.meshnet.lr_init * trainer._tail_mult(
+                state.step)
+            new_sim = jax.tree_util.tree_map(
+                lambda p, u: p - sim_lr * u, state.sim_params, sim_updates)
+
+        new_state = SplatTrainState(new_params, gstate, g_opt, new_sim,
+                                    sim_opt, state.step + 1)
+        n_alive = jax.lax.psum(G.num_alive(gstate), "model")
+        metrics = StepMetrics(loss=loss, psnr=psnr_v, l1=l1,
+                              n_alive=n_alive, n_dropped=n_dropped)
+        return new_state, metrics
+
+    specs = splat_state_specs(state_template)
+    mapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(specs, P("data"), P(), P(), P()),
+        out_specs=(specs, P()),
+        check_vma=False,
+    )
+
+    def banked(state, cam_bank, gt_bank, mask_bank, view_idx, time_ids,
+               knn_state, carry):
+        cams = jax.tree_util.tree_map(lambda a: a[view_idx, time_ids],
+                                      cam_bank)
+        gts = gt_bank[view_idx, time_ids].astype(jnp.float32) / 255.0
+        masks = (mask_bank[view_idx, time_ids] if has_masks
+                 else jnp.zeros((), jnp.float32))
+        if pad:
+            cams = jax.tree_util.tree_map(
+                lambda a: jnp.concatenate([a, a[:pad]]), cams)
+        if not use_knn:
+            knn_state = jnp.zeros((), jnp.float32)
+        new_state, metrics = mapped(state, cams, gts, masks, knn_state)
+        new_carry = StepCarry(
+            ema_loss=0.4 * metrics.loss + 0.6 * carry.ema_loss,
+            ema_psnr=0.4 * metrics.psnr + 0.6 * carry.ema_psnr,
+            drop_accum=carry.drop_accum + metrics.n_dropped.astype(jnp.int32),
+        )
+        return new_state, metrics, new_carry
+
+    return jax.jit(banked)
 
 
 def make_sharded_meshnet_step(trainer, mesh: Mesh, future: int):

@@ -19,7 +19,6 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -68,7 +67,7 @@ def make_scene_parallel_step(trainer, mesh: Mesh, sh_degree: int,
         expand = lambda x: jnp.expand_dims(x, 0)
         return jax.tree.map(expand, new_state), jax.tree.map(expand, metrics)
 
-    mapped = shard_map(one_scene, mesh=mesh,
-                       in_specs=(spec, spec, spec),
-                       out_specs=(spec, spec), check_rep=False)
+    mapped = jax.shard_map(one_scene, mesh=mesh,
+                           in_specs=(spec, spec, spec),
+                           out_specs=(spec, spec), check_vma=False)
     return jax.jit(mapped)

@@ -209,6 +209,7 @@ def train_scene(
     save_test_images: bool = False,
     wandb=None,
     viewer_enabled: bool = False,
+    device_mesh=None,
 ) -> SplatTrainState:
     """Run the full static+dynamic optimization for one scene.
 
@@ -216,6 +217,14 @@ def train_scene(
     regime (scene.py:131-137): ONE random (view, time) camera per dynamic
     iteration instead of the 3-consecutive-time batch (the consecutive-time
     regularizers need >= 3 cameras and fall away automatically).
+
+    ``device_mesh``: a ``jax.sharding.Mesh`` with ('data', 'model') axes
+    (see ``parallel.mesh.make_mesh``) runs every train iteration as the
+    explicit shard_map program over that mesh — camera rows on 'data', the
+    Gaussian capacity on 'model' — with the host schedule (density control,
+    capacity growth, bary cleanup, kNN refresh, checkpoints) operating on
+    the sharded state transparently. Single-device runs pass None and never
+    touch the parallel layer.
     """
     os.makedirs(out_dir, exist_ok=True)
     o = cfg.opt
@@ -227,6 +236,13 @@ def train_scene(
     cam0 = scene.train.get(0, 0).camera
     trainer = Trainer(cfg, mesh, preds, cam0.width, cam0.height,
                       cam0.tanfovx, cam0.tanfovy, scene.radius)
+    driver = trainer
+    if device_mesh is not None:
+        from cloth_splatting_tpu.parallel.trainer import ShardedTrainer
+
+        driver = ShardedTrainer(trainer, device_mesh)
+        print(f"device mesh: data={driver.d_rows} x model={driver.m_cols} "
+              f"({device_mesh.devices.size} devices)")
     state = trainer.init_state(rng)
     first_iter = 1
     if start_checkpoint:
@@ -234,6 +250,12 @@ def train_scene(
         first_iter = int(state.step) + 1
         print(f"resumed from {start_checkpoint} at iteration {first_iter}")
     cam_bank, gt_bank, mask_bank = build_banks(scene.train, scene.white_background)
+    if device_mesh is not None:
+        state = driver.place_state(state)
+        cam_bank = driver.replicate(cam_bank)
+        gt_bank = driver.replicate(gt_bank)
+        if mask_bank is not None:
+            mask_bank = driver.replicate(mask_bank)
 
     logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
     sh_degree = min(first_iter // 1000, cfg.model.sh_degree)
@@ -263,7 +285,9 @@ def train_scene(
         static = o.static_reconst and iteration < o.static_reconst_iteration
 
         if viewer_enabled:
-            _poll_viewer(trainer, state, sh_degree)
+            _poll_viewer(trainer,
+                         driver.host_state(state) if device_mesh is not None
+                         else state, sh_degree)
 
         if iteration % 1000 == 0 and sh_degree < cfg.model.sh_degree:
             sh_degree += 1
@@ -273,7 +297,7 @@ def train_scene(
             cap = state.params.face_bary.shape[0]
             if (knn_state is None or cap != knn_capacity
                     or iteration % o.knn_update_iter == 0):
-                knn_state = trainer.compute_knn_state(state)
+                knn_state = driver.compute_knn_state(state)
                 knn_capacity = cap
                 print("updating knn's")
 
@@ -290,20 +314,20 @@ def train_scene(
             else:
                 t_ids = list(range(n_times))
 
-        state, metrics, carry = trainer.step_banked(
+        state, metrics, carry = driver.step_banked(
             state, cam_bank, gt_bank, mask_bank, vi, t_ids,
             sh_degree=sh_degree, static=static,
             knn_state=knn_state if knn_active else None, carry=carry,
         )
 
         key, sub = jax.random.split(key)
-        state, overflow = trainer.density_control(state, iteration, sub)
+        state, overflow = driver.density_control(state, iteration, sub)
         if overflow:
             print(f"[iter {iteration}] densify overflow: {overflow} "
                   f"(capacity {state.params.face_bary.shape[0]})")
 
         if iteration % o.bary_cleanup == 0:
-            state = trainer.cleanup_barycentric(state)
+            state = driver.cleanup_barycentric(state)
 
         # Metrics stay ON DEVICE between progress ticks: every blocking
         # device->host fetch costs a full round trip (~25 ms through the TPU
@@ -331,7 +355,7 @@ def train_scene(
                       f"{dropped_window} tile instances since the last tick "
                       f"(k_cap={o.raster_k_cap})")
                 if overflow_ticks >= 2 and o.raster_k_cap < K_CAP_MAX:
-                    new_cap = trainer.grow_k_cap()
+                    new_cap = driver.grow_k_cap()
                     overflow_ticks = 0
                     print(f"[iter {iteration}] growing raster_k_cap -> "
                           f"{new_cap} (recompile)")
@@ -349,8 +373,10 @@ def train_scene(
                            "n_gaussians": n_alive}, step=iteration)
 
         if iteration in test_iterations:
+            eval_state = (driver.host_state(state)
+                          if device_mesh is not None else state)
             ev = evaluate_split(
-                trainer, state, scene.test, scene.white_background, sh_degree,
+                trainer, eval_state, scene.test, scene.white_background, sh_degree,
                 save_dir=(os.path.join(out_dir, "test_renders",
                                        f"iter_{iteration}")
                           if save_test_images else None))

@@ -176,12 +176,42 @@ def train_meshnet(
     steps_per_epoch: int | None = None,
     viz_dir: str | None = None,
     viz_every: int = 50,
+    data_parallel: bool = False,
 ) -> tuple[dict, list[float]]:
-    """Epoch loop with the 1/3-2/3 future-length curriculum."""
+    """Epoch loop with the 1/3-2/3 future-length curriculum.
+
+    ``data_parallel=True`` shards the sample batch over ALL devices (pure DP
+    — per-sample message passing is independent until the loss/grad reduce;
+    parallel/mesh.py make_sharded_meshnet_step) with the GNN/normalizer
+    state replicated. Requires batch_size % len(jax.devices()) == 0.
+    """
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     opt_state = trainer.init_opt(state)
     losses = []
+
+    dp_steps: dict[int, tuple] = {}
+    if data_parallel:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cloth_splatting_tpu.parallel.mesh import make_mesh, make_sharded_meshnet_step
+
+        dmesh = make_mesh()
+        n_dev = dmesh.devices.size
+        if batch_size % n_dev:
+            raise ValueError(
+                f"--data_parallel needs batch_size ({batch_size}) divisible "
+                f"by the device count ({n_dev})")
+        rep = NamedSharding(dmesh, P())
+        state = jax.device_put(state, rep)
+        opt_state = jax.device_put(opt_state, rep)
+        print(f"meshnet data-parallel over {n_dev} devices")
+
+        def dp_step(future: int):
+            if future not in dp_steps:
+                dp_steps[future] = make_sharded_meshnet_step(
+                    trainer, dmesh, future)
+            return dp_steps[future]
 
     for epoch in range(n_epochs):
         future = base_future
@@ -196,8 +226,14 @@ def train_meshnet(
         for _ in range(n_steps):
             batch = train_ds.batch(rng, batch_size)
             key, sub = jax.random.split(key)
-            state, opt_state, loss = trainer.train_step(
-                state, opt_state, batch, sub, epoch, future)
+            if data_parallel:
+                step, place_batch = dp_step(future)
+                state, opt_state, loss = step(
+                    state, opt_state, place_batch(batch), sub,
+                    jnp.asarray(trainer.lr(epoch), jnp.float32))
+            else:
+                state, opt_state, loss = trainer.train_step(
+                    state, opt_state, batch, sub, epoch, future)
             epoch_loss += float(loss)
         losses.append(epoch_loss / n_steps)
 

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Serial hardware job queue with tunnel-outage retries.
+
+The round-2 bench capture was lost to a device-tunnel outage (rc=124 after
+30+ min of in-process waiting); this wrapper makes an outage DELAY a job
+instead of killing it. Jobs run one at a time (one TPU process at a time),
+each with its own log file; a failed job is retried when a device probe
+succeeds again, up to a per-queue deadline. Status is checkpointed to
+<logdir>/status.json after every attempt so a watcher can follow along.
+
+Usage:
+  python scripts/hw_queue.py --manifest scripts/hwq_r03.json \
+      --logdir /tmp/hwq_r03 [--deadline_s 21600]
+
+Manifest format: JSON list of {"name": str, "cmd": [argv...],
+"env": {optional extra env}, "timeout_s": optional per-attempt timeout}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PROBE = ("import jax; d = jax.devices(); "
+         "assert d and d[0].platform != 'cpu', d")
+
+
+def device_up(timeout_s: float = 90.0) -> bool:
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", PROBE], capture_output=True,
+            timeout=timeout_s).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_device(deadline: float, poll_s: float = 120.0) -> bool:
+    while True:
+        if device_up():
+            return True
+        if time.time() >= deadline:
+            return False
+        print(f"hwq: device down, re-probing in {poll_s:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(poll_s)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--logdir", required=True)
+    p.add_argument("--deadline_s", type=float, default=6 * 3600)
+    p.add_argument("--max_attempts", type=int, default=4,
+                   help="attempts per job while the device probe passes "
+                        "(device-down attempts do not count)")
+    args = p.parse_args(argv)
+
+    with open(args.manifest) as f:
+        jobs = json.load(f)
+    os.makedirs(args.logdir, exist_ok=True)
+    deadline = time.time() + args.deadline_s
+    status = {j["name"]: {"state": "pending", "attempts": 0} for j in jobs}
+
+    def checkpoint():
+        with open(os.path.join(args.logdir, "status.json"), "w") as f:
+            json.dump(status, f, indent=1)
+
+    checkpoint()
+    for job in jobs:
+        name, st = job["name"], status[job["name"]]
+        log_path = os.path.join(args.logdir, f"{name}.log")
+        while st["attempts"] < args.max_attempts:
+            if not wait_for_device(deadline):
+                st["state"] = "deadline(device down)"
+                break
+            st["attempts"] += 1
+            st["state"] = "running"
+            checkpoint()
+            env = dict(os.environ, **job.get("env", {}))
+            t0 = time.time()
+            with open(log_path, "a") as log:
+                log.write(f"\n=== hwq attempt {st['attempts']} "
+                          f"{time.strftime('%F %T')} ===\n")
+                log.flush()
+                try:
+                    rc = subprocess.run(
+                        job["cmd"], cwd=REPO, env=env, stdout=log,
+                        stderr=subprocess.STDOUT,
+                        timeout=job.get("timeout_s")).returncode
+                except subprocess.TimeoutExpired:
+                    rc = -1
+            st["elapsed_s"] = round(time.time() - t0, 1)
+            if rc == 0:
+                st["state"] = "ok"
+                # keep the job's last stdout json line if there is one
+                with open(log_path) as lf:
+                    for line in reversed(lf.read().splitlines()):
+                        if line.startswith("{"):
+                            try:
+                                st["result"] = json.loads(line)
+                            except ValueError:
+                                pass
+                            break
+                break
+            st["state"] = f"failed(rc={rc})"
+            if time.time() >= deadline:
+                break
+            # an outage mid-job exits nonzero but should not burn attempts
+            if not device_up():
+                st["attempts"] -= 1
+            checkpoint()
+        checkpoint()
+        print(f"hwq: {name}: {st['state']} "
+              f"({st.get('elapsed_s', 0)}s, {st['attempts']} attempts)",
+              flush=True)
+        if time.time() >= deadline:
+            for j in jobs:
+                if status[j["name"]]["state"] == "pending":
+                    status[j["name"]]["state"] = "deadline"
+            break
+    checkpoint()
+    bad = [n for n, s in status.items() if s["state"] != "ok"]
+    print("hwq: done;", "all ok" if not bad else f"failed: {bad}", flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -70,6 +70,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--seed", type=int, default=6666)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--save_test_images", action="store_true", default=True)
+    parser.add_argument("--mesh", type=str, default="",
+                        help="multi-chip training over a (data, model) "
+                             "device mesh: 'auto' (all devices, data axis "
+                             "auto-chosen), 'DxM' (e.g. '2x4'), or '' "
+                             "(single device, default). Camera rows shard "
+                             "over 'data', the Gaussian capacity over "
+                             "'model'; see cloth_splatting_tpu/parallel/.")
     return parser
 
 
@@ -147,6 +154,25 @@ def main(argv=None) -> None:
         wandb = WandbAdapter(project=args.expname, name=args.expname,
                              config=vars(args), enabled=True)
 
+    device_mesh = None
+    if args.mesh:
+        import jax
+
+        from cloth_splatting_tpu.parallel.mesh import make_mesh
+
+        if args.mesh == "auto":
+            if len(jax.devices()) > 1:
+                device_mesh = make_mesh()
+        else:
+            try:
+                d, m = (int(v) for v in args.mesh.lower().split("x"))
+            except ValueError:
+                parser.error(f"--mesh must be 'auto' or 'DxM', got {args.mesh!r}")
+            if d * m > len(jax.devices()):
+                parser.error(f"--mesh {args.mesh} needs {d * m} devices, "
+                             f"have {len(jax.devices())}")
+            device_mesh = make_mesh(d * m, data=d)
+
     train_scene(
         cfg, scene, cfg.model.model_path,
         test_iterations=args.test_iterations,
@@ -158,6 +184,7 @@ def main(argv=None) -> None:
         save_test_images=args.save_test_images,
         wandb=wandb,
         viewer_enabled=viewer_enabled,
+        device_mesh=device_mesh,
     )
     if wandb is not None:
         wandb.finish()

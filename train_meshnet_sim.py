@@ -50,6 +50,11 @@ def build_parser():
     p.add_argument("--viz_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--steps_per_epoch", type=int, default=None)
+    p.add_argument("--data_parallel", type=int, default=0,
+                   help="1 = shard the sample batch over all JAX devices "
+                        "(pure data parallelism; batch_size must divide "
+                        "evenly). New TPU-native capability — the reference "
+                        "trains single-GPU only (SURVEY.md section 2.3).")
     return p
 
 
@@ -103,6 +108,7 @@ def main(argv=None) -> None:
             save_every=args.nsave_steps, model_dir=model_dir, seed=args.seed,
             steps_per_epoch=args.steps_per_epoch,
             viz_dir=args.viz_dir, viz_every=args.viz_every,
+            data_parallel=bool(args.data_parallel),
         )
         print(f"final loss: {losses[-1]:.6f}; checkpoints at {model_dir}")
     else:
