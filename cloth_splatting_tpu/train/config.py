@@ -74,6 +74,13 @@ class OptimizationConfig:
     # scene: from-truth equilibrium 43 dB at constant LRs.
     lr_tail_start: float = 1.0   # fraction of total iterations; 1.0 = off
     lr_tail_floor: float = 0.01  # final LR multiplier at the last iteration
+    # 3-step window placement. 'interior' is the reference regime
+    # (dataset.py:75-87: mid-time uniform over [1, T-2]), which gives the
+    # endpoint timesteps only 1/3 the gradient exposure of interior ones —
+    # measured on the 800px parity scene as test PSNR falling from ~30 dB
+    # at t=0 to ~24 dB at t=1. 'balanced' draws the mid over [0, T-1] and
+    # clamps, doubling endpoint exposure at no cost elsewhere.
+    time_sample: str = "interior"
     percent_dense: float = 0.01
     lambda_dssim: float = 0.1
     lambda_lpips: float = 0.0

@@ -194,6 +194,29 @@ def _poll_viewer(trainer: Trainer, state: SplatTrainState,
         viewer.disconnect()
 
 
+def sample_time_ids(rng: np.random.Generator, n_times: int,
+                    three_steps_batch: bool,
+                    time_sample: str = "interior") -> list[int]:
+    """Pick this iteration's timestep batch.
+
+    'interior' = the reference regime (MDNerfDataset.__getitem__,
+    dataset.py:75-87): mid-time uniform over [1, T-2]; endpoint times then
+    appear in only one window each (1/3 the interior exposure). 'balanced'
+    draws the mid over the full range and clamps the window, doubling the
+    endpoints' exposure.
+    """
+    if not three_steps_batch:
+        return [int(rng.integers(n_times))]
+    if n_times < 3:
+        return list(range(n_times))
+    if time_sample == "balanced":
+        mid = int(rng.integers(0, n_times))
+        mid = min(max(mid, 1), n_times - 2)
+    else:
+        mid = int(rng.integers(1, n_times - 1))
+    return [mid - 1, mid, mid + 1]
+
+
 def train_scene(
     cfg: Config,
     scene: ClothScene,
@@ -306,13 +329,8 @@ def train_scene(
             t_ids = [0]
         else:
             vi = int(rng.integers(scene.train.n_views))
-            if not three_steps_batch:
-                t_ids = [int(rng.integers(n_times))]
-            elif n_times >= 3:
-                mid = int(rng.integers(1, n_times - 1))
-                t_ids = [mid - 1, mid, mid + 1]
-            else:
-                t_ids = list(range(n_times))
+            t_ids = sample_time_ids(rng, n_times, three_steps_batch,
+                                    getattr(o, "time_sample", "interior"))
 
         state, metrics, carry = driver.step_banked(
             state, cam_bank, gt_bank, mask_bank, vi, t_ids,

@@ -227,3 +227,41 @@ class TestTrajectoryTimeAxis:
         # entries must be in time order: positions at t=0 match the rest mesh
         # predictions more closely than t=1 (cloth_wave deforms over time)
         assert np.all(np.isfinite(d["traj"]))
+
+
+class TestTimeSampling:
+    """sample_time_ids: 'interior' = reference regime (dataset.py:75-87);
+    'balanced' doubles the endpoint timesteps' exposure (measured parity
+    limiter: test PSNR falls with t under 'interior')."""
+
+    def test_interior_matches_reference_regime(self):
+        from cloth_splatting_tpu.train.loop import sample_time_ids
+
+        rng = np.random.default_rng(0)
+        mids = {sample_time_ids(rng, 8, True, "interior")[1]
+                for _ in range(500)}
+        assert mids == set(range(1, 7))
+
+    def test_balanced_doubles_endpoint_exposure(self):
+        from collections import Counter
+
+        from cloth_splatting_tpu.train.loop import sample_time_ids
+
+        rng = np.random.default_rng(0)
+        cover = Counter()
+        n = 4000
+        for _ in range(n):
+            for t in sample_time_ids(rng, 8, True, "balanced"):
+                cover[t] += 1
+        # endpoints covered by mids {0,1} and {6,7}: 2/8 of draws each;
+        # interior t by 3 mids: 3/8
+        assert abs(cover[0] / n - 0.25) < 0.03
+        assert abs(cover[7] / n - 0.25) < 0.03
+        assert abs(cover[3] / n - 0.375) < 0.03
+
+    def test_short_sequences(self):
+        from cloth_splatting_tpu.train.loop import sample_time_ids
+
+        rng = np.random.default_rng(0)
+        assert sample_time_ids(rng, 2, True, "balanced") == [0, 1]
+        assert len(sample_time_ids(rng, 8, False, "interior")) == 1
