@@ -219,16 +219,24 @@ class Trainer:
     def _step_inner(self, state: SplatTrainState, cams: CameraArrays,
                     gt_images: jnp.ndarray, masks: jnp.ndarray | None,
                     sh_degree: int, static: bool, has_masks: bool,
-                    knn_state=None):
+                    knn_state=None, mesh: G.Mesh | None = None,
+                    mesh_predictions: jnp.ndarray | None = None):
+        """``mesh``/``mesh_predictions`` override the trainer's own scene
+        (same static shapes required) — the scene-parallel sweep passes each
+        device its own scene's arrays through one shared program
+        (parallel/sweep.py)."""
         o = self.cfg.opt
+        mesh = self.mesh if mesh is None else mesh
+        mesh_predictions = (self.mesh_predictions if mesh_predictions is None
+                            else mesh_predictions)
         cap = state.params.face_bary.shape[0]
 
         def loss_fn(params, sim_params, screen_offset):
             def render_one(cam):
                 return render(
                     cam, self.width, self.height, self.tanfovx, self.tanfovy,
-                    params, state.gstate, self.mesh, sim_params,
-                    self.mesh_predictions, self.bg_color, sh_degree,
+                    params, state.gstate, mesh, sim_params,
+                    mesh_predictions, self.bg_color, sh_degree,
                     screen_offset=screen_offset, render_static=static,
                     k_cap=o.raster_k_cap, k_chunk=o.raster_k_chunk,
                     backend=self.backend, bg_static=self.bg_static,
@@ -244,7 +252,7 @@ class Trainer:
             loss, ldict = image_losses(images, gt_images, o.lambda_dssim,
                                        masks if has_masks else None)
             loss = loss + regularization(
-                outs.vertices, self.mesh, o.lambda_deform_mag, o.lambda_rigid,
+                outs.vertices, mesh, o.lambda_deform_mag, o.lambda_rigid,
                 o.lambda_momentum, static,
             )
             if knn_state is not None and not static:
@@ -386,6 +394,23 @@ class Trainer:
         return state._replace(params=params, g_opt=g_opt)
 
     # ------------------------------------------------------------- schedule
+
+    @staticmethod
+    def density_control_due(cfg: Config, iteration: int) -> bool:
+        """True iff density_control would act this iteration (lets callers
+        that hold scene-stacked state skip the unstack when idle)."""
+        o = cfg.opt
+        if iteration >= o.densify_until_iter:
+            return False
+        return (
+            (iteration > o.densify_from_iter
+             and iteration % o.densification_interval == 0)
+            or (iteration > o.pruning_from_iter
+                and iteration % o.pruning_interval == 0)
+            or iteration % o.opacity_reset_interval == 0
+            or (cfg.model.white_background
+                and iteration == o.densify_from_iter)
+        )
 
     def density_control(self, state: SplatTrainState, iteration: int,
                         rng_key) -> tuple[SplatTrainState, int]:
