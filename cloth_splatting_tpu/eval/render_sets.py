@@ -84,12 +84,19 @@ def load_trained_model(model_path: str, scene: ClothScene, iteration: int = -1):
     pc_dir = os.path.join(model_path, "point_cloud", f"iteration_{iteration}")
     params, state, mesh = load_gaussian_checkpoint(pc_dir)
 
-    template = init_residual_simulator(
-        np.random.default_rng(0), int(mesh.pos.shape[0]))._asdict()
     ckpt = latest_checkpoint(os.path.join(model_path, "meshnet"))
     if ckpt is None:
         raise FileNotFoundError(f"no meshnet checkpoint in {model_path}/meshnet")
-    sim_params = ResidualSimulatorParams(**restore_like(template, load_flat(ckpt)))
+    flat = load_flat(ckpt)
+    if set(flat) == {"embedding"}:
+        # --simulator embedding checkpoints hold just the [T, V*3] table
+        from cloth_splatting_tpu.models.deform import EmbeddingSimulatorParams
+        sim_params = EmbeddingSimulatorParams(
+            embedding=jnp.asarray(flat["embedding"]))
+    else:
+        template = init_residual_simulator(
+            np.random.default_rng(0), int(mesh.pos.shape[0]))._asdict()
+        sim_params = ResidualSimulatorParams(**restore_like(template, flat))
     return params, state, mesh, sim_params, iteration
 
 

@@ -15,7 +15,12 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from cloth_splatting_tpu.models.deform import ResidualSimulatorParams, simulate
+from cloth_splatting_tpu.models.deform import (
+    EmbeddingSimulatorParams,
+    ResidualSimulatorParams,
+    simulate,
+    simulate_embedding,
+)
 from cloth_splatting_tpu.models.gaussians import (
     GaussianParams,
     GaussianState,
@@ -110,7 +115,11 @@ def render(
         means3d = gaussian_positions(params, state, mesh)
         rotations = quat_normalize(params.rotation)
     else:
-        vertices = simulate(sim_params, mesh_predictions, cam.time)
+        if isinstance(sim_params, EmbeddingSimulatorParams):
+            vertices = simulate_embedding(sim_params, mesh_predictions,
+                                          cam.time)
+        else:
+            vertices = simulate(sim_params, mesh_predictions, cam.time)
         means3d = gaussian_positions(params, state, mesh, vertices)
         rotations = gaussian_rotations(params, state, mesh, vertices)
 

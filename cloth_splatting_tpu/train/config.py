@@ -23,6 +23,12 @@ class ModelConfig:
     """Reference ModelParams (arguments/__init__.py:51-67)."""
 
     sh_degree: int = 3
+    # deformation model refining the GNN mesh predictions: 'mlp' = the
+    # sinusoidal-time residual MLP (reference ResidualMeshSimulator,
+    # meshnet_network.py:325-380, the train.py default); 'embedding' = the
+    # per-timestep residual table variant (ResidualMeshSimulatorEmbedding,
+    # meshnet_network.py:382-411)
+    simulator: str = "mlp"
     source_path: str = ""
     model_path: str = ""
     images: str = "images"

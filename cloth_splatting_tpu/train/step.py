@@ -105,7 +105,10 @@ class Trainer:
                    params: G.GaussianParams | None = None,
                    gstate: G.GaussianState | None = None,
                    sim_params: ResidualSimulatorParams | None = None) -> SplatTrainState:
-        from cloth_splatting_tpu.models.deform import init_residual_simulator
+        from cloth_splatting_tpu.models.deform import (
+            init_embedding_simulator,
+            init_residual_simulator,
+        )
 
         if params is None or gstate is None:
             params, gstate = G.init_from_mesh(
@@ -113,7 +116,13 @@ class Trainer:
                 self.cfg.opt.gaussian_init_factor,
             )
         if sim_params is None:
-            sim_params = init_residual_simulator(rng, int(self.mesh.pos.shape[0]))
+            if getattr(self.cfg.model, "simulator", "mlp") == "embedding":
+                sim_params = init_embedding_simulator(
+                    rng, int(self.mesh_predictions.shape[0]),
+                    int(self.mesh.pos.shape[0]))
+            else:
+                sim_params = init_residual_simulator(
+                    rng, int(self.mesh.pos.shape[0]))
         return SplatTrainState(
             params=params,
             gstate=gstate,

@@ -6,6 +6,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cloth_splatting_tpu.train.losses import KnnState, knn_regularization
 
@@ -96,6 +97,7 @@ class TestKnnRegularization:
         l_bad = knn_regularization(means, rots_bad, knn_state, 0.0, 0.0, 1.0)
         assert float(l_bad) > 100 * max(float(l_rigid), 1e-10)
 
+    @pytest.mark.slow
     def test_trainer_step_with_knn_state(self):
         """A dynamic train step with lambda_iso > 0 consumes the kNN state
         and still produces a finite loss (end-to-end smoke)."""

@@ -122,6 +122,7 @@ class TestGradients:
         for a, b in zip(g_t, g_o):
             np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-2)
 
+    @pytest.mark.slow
     def test_grads_match_finite_differences(self):
         """Spot-check analytic grads vs central differences on a few coords."""
         means, scales, quats, colors, opac = random_scene(8, seed=6)
@@ -185,6 +186,7 @@ class TestSplatRadiusCap:
         np.testing.assert_allclose(np.asarray(rgb_t), np.asarray(rgb_o),
                                    atol=3e-4)
 
+    @pytest.mark.slow
     def test_cap_psnr_impact_bounded_on_bench_scene(self):
         """On a bench-like cloth field the 24 px cap costs < 0.1 dB: the
         capped and uncapped renders agree to > 40 dB PSNR."""

@@ -107,6 +107,7 @@ class TestBankedShardedStepSmoke:
                                    np.asarray(ref_state.gstate.grad_accum),
                                    rtol=1e-3, atol=1e-7)
 
+    @pytest.mark.slow
     def test_static_stage_single_camera(self):
         """Static stage batch B=1 padded to the data-axis size."""
         cfg, mesh, params, gstate, sim_params, preds, cam = _scene()

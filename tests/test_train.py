@@ -262,6 +262,69 @@ class TestDynamicFit:
         np.testing.assert_array_equal(np.asarray(state.sim_params.w_out), w_before)
 
 
+class TestEmbeddingSimulatorTraining:
+    """--simulator embedding end-to-end (reference
+    ResidualMeshSimulatorEmbedding, meshnet_network.py:382-411): init via
+    cfg, gradient flow into the per-time table, checkpoint roundtrip."""
+
+    def test_embedding_trains_and_roundtrips(self, scene, tmp_path):
+        from cloth_splatting_tpu.eval.render_sets import load_trained_model
+        from cloth_splatting_tpu.models.deform import EmbeddingSimulatorParams
+        from cloth_splatting_tpu.train.loop import save_scene_checkpoint
+
+        mesh, cfg_base, cams, gt_images = scene
+        cfg = dataclasses.replace(
+            cfg_base, model=dataclasses.replace(cfg_base.model,
+                                                simulator="embedding"))
+        preds = jnp.stack([mesh.pos + 0.05 * t for t in range(3)])
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2),
+                          np.tan(FOV / 2), 3.0)
+        rng = np.random.default_rng(11)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2,
+                                          capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        assert isinstance(state.sim_params, EmbeddingSimulatorParams)
+        assert state.sim_params.embedding.shape == (3, mesh.pos.shape[0] * 3)
+
+        cam_batch = stack_cams(cams)
+        emb_before = np.asarray(state.sim_params.embedding).copy()
+        losses = []
+        for _ in range(20):
+            state, metrics = trainer.step(state, cam_batch, gt_images, None,
+                                          sh_degree=0, static=False)
+            losses.append(float(metrics.loss))
+        assert np.isfinite(losses[-1])
+        assert not np.allclose(np.asarray(state.sim_params.embedding),
+                               emb_before)
+
+        out = str(tmp_path / "emb_exp")
+        save_scene_checkpoint(out, 20, trainer, jax.device_get(state))
+        _, _, _, sim_restored, it = load_trained_model(out, None)
+        assert it == 20
+        assert isinstance(sim_restored, EmbeddingSimulatorParams)
+        np.testing.assert_allclose(np.asarray(sim_restored.embedding),
+                                   np.asarray(state.sim_params.embedding),
+                                   atol=0)
+
+    def test_static_freezes_embedding(self, scene):
+        mesh, cfg_base, cams, gt_images = scene
+        cfg = dataclasses.replace(
+            cfg_base, model=dataclasses.replace(cfg_base.model,
+                                                simulator="embedding"))
+        preds = jnp.tile(mesh.pos[None], (3, 1, 1))
+        trainer = Trainer(cfg, mesh, preds, W, H, np.tan(FOV / 2),
+                          np.tan(FOV / 2), 3.0)
+        rng = np.random.default_rng(12)
+        params, gstate = G.init_from_mesh(rng, mesh, cfg.model.sh_degree, 2,
+                                          capacity=512)
+        state = trainer.init_state(rng, params, gstate)
+        emb_before = np.asarray(state.sim_params.embedding).copy()
+        state, _ = trainer.step(state, stack_cams(cams), gt_images, None,
+                                sh_degree=0, static=True)
+        np.testing.assert_array_equal(np.asarray(state.sim_params.embedding),
+                                      emb_before)
+
+
 class TestBaryCleanup:
     def test_negative_bary_reassigned(self, scene):
         mesh, cfg, _, _ = scene
