@@ -91,6 +91,16 @@ def simulate_embedding(params: EmbeddingSimulatorParams,
     return base + residual
 
 
+def simulate_any(params, mesh_predictions: jnp.ndarray,
+                 t: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch on the simulator param type (trace-time static): the
+    residual MLP (ResidualSimulatorParams) or the per-timestep table
+    (EmbeddingSimulatorParams, --simulator embedding)."""
+    if isinstance(params, EmbeddingSimulatorParams):
+        return simulate_embedding(params, mesh_predictions, t)
+    return simulate(params, mesh_predictions, t)
+
+
 def simulate(params: ResidualSimulatorParams, mesh_predictions: jnp.ndarray,
              t: jnp.ndarray) -> jnp.ndarray:
     """Deformed vertices at normalized time t in [0, 1].

@@ -436,6 +436,21 @@ def add_densification_stats(state: GaussianState, xy_grad_norm: jnp.ndarray,
     )
 
 
+def grow_state_arrays(params, gstate, g_opt, new_cap: int):
+    """Grow (params, gstate, Adam moments) to ``new_cap`` with dead slots;
+    dead rotations get identity quaternions (zero quats are degenerate even
+    with NaN-safe normalization). The ONE capacity-growth implementation —
+    Trainer.grow_capacity, ShardedTrainer.place_state and the scene-parallel
+    sweep all route here. No-op when new_cap <= current capacity."""
+    old_cap = params.face_bary.shape[0]
+    if new_cap <= old_cap:
+        return params, gstate, g_opt
+    grown = grow_arrays(params, old_cap, new_cap)
+    grown = grown._replace(rotation=grown.rotation.at[old_cap:, 0].set(1.0))
+    return (grown, grow_arrays(gstate, old_cap, new_cap),
+            grow_arrays(g_opt, old_cap, new_cap))
+
+
 def grow_arrays(tree: Any, old_cap: int, new_cap: int) -> Any:
     """Pad every array leaf whose leading dim equals old_cap to new_cap
     (zeros). Used for host-side capacity growth after densify overflow;

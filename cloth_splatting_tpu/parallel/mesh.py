@@ -199,7 +199,10 @@ def make_pallas_sharded_splat_step(trainer, mesh: Mesh, sh_degree: int,
         radii = jax.lax.pmax(aux["radii"], "data")
         visibility = jax.lax.pmax(aux["visibility"].astype(jnp.int32),
                                   "data") > 0
-        n_dropped = jax.lax.psum(aux["n_dropped"], ("data", "model"))
+        # data-axis only: every model column rasterizes the same full
+        # Gaussian set for its camera rows (gather_axis='model'), so
+        # a model-axis psum would multiply the true count by m_cols
+        n_dropped = jax.lax.psum(aux["n_dropped"], "data")
 
         xy_grad_norm = jnp.linalg.norm(screen_grad, axis=-1)
         gstate = G.add_densification_stats(state.gstate, xy_grad_norm,
@@ -292,6 +295,7 @@ def make_banked_sharded_step(trainer, mesh: Mesh, sh_degree: int,
     d_rows, m_cols = mesh.devices.shape
     scale = float(d_rows * m_cols)
     pad = (-n_cams) % d_rows
+    c_local = (n_cams + pad) // d_rows
 
     def local_step(state, cams, gts, masks, knn_state):
         # cams: LOCAL [(n_cams+pad)/D, ...] rows; gts/masks/knn: replicated
@@ -339,7 +343,11 @@ def make_banked_sharded_step(trainer, mesh: Mesh, sh_degree: int,
                 "l1": ldict["l1"] / scale,
                 "radii": jnp.max(outs.radii, axis=0),            # [C_local]
                 "visibility": jnp.any(outs.visibility, axis=0),
-                "n_dropped": jnp.sum(outs.n_dropped),
+                "n_dropped": jnp.sum(
+                    outs.n_dropped
+                    * (jax.lax.axis_index("data") * c_local
+                       + jnp.arange(c_local)
+                       < n_cams).astype(outs.n_dropped.dtype)),
             }
             return local, aux
 
@@ -358,7 +366,10 @@ def make_banked_sharded_step(trainer, mesh: Mesh, sh_degree: int,
         radii = jax.lax.pmax(aux["radii"], "data")
         visibility = jax.lax.pmax(aux["visibility"].astype(jnp.int32),
                                   "data") > 0
-        n_dropped = jax.lax.psum(aux["n_dropped"], ("data", "model"))
+        # data-axis only: every model column rasterizes the same full
+        # Gaussian set for its camera rows (gather_axis='model'), so
+        # a model-axis psum would multiply the true count by m_cols
+        n_dropped = jax.lax.psum(aux["n_dropped"], "data")
 
         xy_grad_norm = jnp.linalg.norm(screen_grad, axis=-1)
         gstate = G.add_densification_stats(state.gstate, xy_grad_norm,
@@ -405,8 +416,10 @@ def make_banked_sharded_step(trainer, mesh: Mesh, sh_degree: int,
         masks = (mask_bank[view_idx, time_ids] if has_masks
                  else jnp.zeros((), jnp.float32))
         if pad:
-            cams = jax.tree_util.tree_map(
-                lambda a: jnp.concatenate([a, a[:pad]]), cams)
+            # modular repeat: correct even when pad > n_cams (e.g. the
+            # B=1 static stage on a data axis of 3+ rows)
+            idx = jnp.arange(n_cams + pad) % n_cams
+            cams = jax.tree_util.tree_map(lambda a: a[idx], cams)
         if not use_knn:
             knn_state = jnp.zeros((), jnp.float32)
         new_state, metrics = mapped(state, cams, gts, masks, knn_state)

@@ -16,9 +16,13 @@ scene's densify runs on the device that owns it; capacities are re-equalized
 group-wide afterwards (shared static shapes are the one constraint of the
 axis).
 
-Sampling uses ONE shared (view, time) draw per iteration, which reproduces
-the sequential baseline exactly: each sequential ``train.py`` run draws the
-same sequence from the same default seed.
+Sampling uses ONE shared (view, time) draw per iteration from the same
+default seed as ``train.py``. (The draw SEQUENCE is not bit-identical to a
+sequential run's: train_scene threads its numpy Generator through
+init_state before sampling, so the streams diverge — same distribution,
+same schedule shape, different draws. tests/test_scene_sweep.py pins
+functional equivalence: a sweep run renders within >30 dB cross-PSNR of
+the matching sequential train_scene run.)
 """
 
 from __future__ import annotations
@@ -73,16 +77,9 @@ def group_scenes(scenes: Sequence) -> list[list[int]]:
 
 
 def _grow_to(state: SplatTrainState, new_cap: int) -> SplatTrainState:
-    old = state.params.face_bary.shape[0]
-    if new_cap <= old:
-        return state
-    grown = G.grow_arrays(state.params, old, new_cap)
-    rot = grown.rotation.at[old:, 0].set(1.0)
-    return state._replace(
-        params=grown._replace(rotation=rot),
-        gstate=G.grow_arrays(state.gstate, old, new_cap),
-        g_opt=G.grow_arrays(state.g_opt, old, new_cap),
-    )
+    params, gstate, g_opt = G.grow_state_arrays(
+        state.params, state.gstate, state.g_opt, new_cap)
+    return state._replace(params=params, gstate=gstate, g_opt=g_opt)
 
 
 def make_scene_group_step(trainer: Trainer, smesh, sh_degree: int,
@@ -197,6 +194,13 @@ def train_scene_group(
     n_views, n_times = scenes[0].train.n_views, scenes[0].train.n_times
     sh_degree = 0
     t_start = time_mod.time()
+    # k_cap overflow must never pass silently (train_scene's safeguard,
+    # loop.py: a silent truncation once mis-scored a run by ~9 dB): a
+    # device-resident accumulator, fetched at progress ticks; persistent
+    # overflow auto-doubles the shared cfg's k_cap and drops compiled steps
+    drop_accum = jnp.zeros((), jnp.int32)
+    overflow_ticks = 0
+    K_CAP_MAX = 8192
 
     for iteration in range(1, o.iterations + 1):
         static = o.static_reconst and iteration < o.static_reconst_iteration
@@ -217,6 +221,7 @@ def train_scene_group(
                 trainers[0], smesh, sh_degree, static, len(t_ids), has_masks)
         stacked, metrics = steps[skey](stacked, cam_banks, gt_banks,
                                        mask_banks, meshes, preds, vi, t_ids)
+        drop_accum = drop_accum + jnp.sum(metrics.n_dropped).astype(jnp.int32)
 
         key, sub = jax.random.split(key)
         if Trainer.density_control_due(cfg, iteration) \
@@ -239,12 +244,24 @@ def train_scene_group(
                 stacked = shard_scenes(stack_scene_states(per_scene), smesh)
 
         if iteration % progress_every == 0:
-            m = jax.device_get(metrics)
+            m, dropped = jax.device_get((metrics, drop_accum))
+            drop_accum = jnp.zeros((), jnp.int32)
             rate = iteration / (time_mod.time() - t_start)
             losses = " ".join(f"{float(v):.4f}" for v in m.loss)
             print(f"[sweep {'static' if static else 'dyn'} "
                   f"{iteration}/{o.iterations}] losses=[{losses}] "
                   f"({rate:.1f} it/s x {n_scenes} scenes)")
+            if int(dropped) > 0:
+                overflow_ticks += 1
+                print(f"[sweep {iteration}] WARNING: rasterizer dropped "
+                      f"{int(dropped)} tile instances since the last tick "
+                      f"(k_cap={o.raster_k_cap})")
+                if overflow_ticks >= 2 and o.raster_k_cap < K_CAP_MAX:
+                    new_cap = trainers[0].grow_k_cap()
+                    steps.clear()
+                    overflow_ticks = 0
+                    print(f"[sweep {iteration}] growing raster_k_cap -> "
+                          f"{new_cap} (recompile)")
 
         if iteration in test_iterations or iteration in save_iterations:
             per_scene = unstack_scene_states(stacked, n_scenes)

@@ -67,13 +67,9 @@ class ShardedTrainer:
         cap = state.params.face_bary.shape[0]
         want = self._mesh_capacity(cap)
         if want != cap:
-            grown = G.grow_arrays(state.params, cap, want)
-            rot = grown.rotation.at[cap:, 0].set(1.0)
-            state = state._replace(
-                params=grown._replace(rotation=rot),
-                gstate=G.grow_arrays(state.gstate, cap, want),
-                g_opt=G.grow_arrays(state.g_opt, cap, want),
-            )
+            params, gstate, g_opt = G.grow_state_arrays(
+                state.params, state.gstate, state.g_opt, want)
+            state = state._replace(params=params, gstate=gstate, g_opt=g_opt)
         return shard_splat_state(state, self.mesh)
 
     def replicate(self, tree):

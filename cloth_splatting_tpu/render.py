@@ -16,10 +16,8 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from cloth_splatting_tpu.models.deform import (
-    EmbeddingSimulatorParams,
     ResidualSimulatorParams,
-    simulate,
-    simulate_embedding,
+    simulate_any,
 )
 from cloth_splatting_tpu.models.gaussians import (
     GaussianParams,
@@ -115,11 +113,7 @@ def render(
         means3d = gaussian_positions(params, state, mesh)
         rotations = quat_normalize(params.rotation)
     else:
-        if isinstance(sim_params, EmbeddingSimulatorParams):
-            vertices = simulate_embedding(sim_params, mesh_predictions,
-                                          cam.time)
-        else:
-            vertices = simulate(sim_params, mesh_predictions, cam.time)
+        vertices = simulate_any(sim_params, mesh_predictions, cam.time)
         means3d = gaussian_positions(params, state, mesh, vertices)
         rotations = gaussian_rotations(params, state, mesh, vertices)
 

@@ -156,11 +156,15 @@ def load_train_checkpoint(path: str, template: SplatTrainState) -> SplatTrainSta
     return checkpoints.restore_like(template, flat)
 
 
-def _poll_viewer(trainer: Trainer, state: SplatTrainState,
+def _poll_viewer(trainer: Trainer, state,
                  sh_degree: int) -> None:
     """Non-blocking viewer poll per iteration (the reference's network_gui
     loop, train.py:129-144): accept a pending client, answer one render
-    request if a camera arrived, drop the connection on any error."""
+    request if a camera arrived, drop the connection on any error.
+
+    ``state`` may be a SplatTrainState or a zero-arg callable returning one
+    — the mesh path passes a thunk so the (expensive) sharded-state gather
+    only happens when a render request actually arrived."""
     from cloth_splatting_tpu.utils import viewer
 
     if viewer.conn is None:
@@ -170,6 +174,7 @@ def _poll_viewer(trainer: Trainer, state: SplatTrainState,
     try:
         cam, do_training, keep_alive, scaling = viewer.receive()
         if cam is not None:
+            state = state() if callable(state) else state
             wv = np.asarray(cam["world_view"], np.float32)
             fp = np.asarray(cam["full_proj"], np.float32)
             center = np.linalg.inv(wv.T)[:3, 3]
@@ -308,9 +313,10 @@ def train_scene(
         static = o.static_reconst and iteration < o.static_reconst_iteration
 
         if viewer_enabled:
+            # thunk: the sharded-state gather runs ONLY on a render request
             _poll_viewer(trainer,
-                         driver.host_state(state) if device_mesh is not None
-                         else state, sh_degree)
+                         (lambda s=state: driver.host_state(s))
+                         if device_mesh is not None else state, sh_degree)
 
         if iteration % 1000 == 0 and sh_degree < cfg.model.sh_degree:
             sh_degree += 1

@@ -121,14 +121,14 @@ class SingleStepOptimizer:
 
     def refined_positions(self) -> np.ndarray:
         """Simulator-refined mesh states for every observed time [T, V, 3]."""
-        from cloth_splatting_tpu.models.deform import simulate
+        from cloth_splatting_tpu.models.deform import simulate_any
 
         out = []
         for t_idx in range(self.n_times):
             t = t_idx / max(self.n_times_max - 1, 1)
-            out.append(np.asarray(simulate(self.state.sim_params,
-                                           self.trainer.mesh_predictions,
-                                           jnp.asarray(t, jnp.float32))))
+            out.append(np.asarray(simulate_any(self.state.sim_params,
+                                               self.trainer.mesh_predictions,
+                                               jnp.asarray(t, jnp.float32))))
         return np.stack(out)
 
     def save(self) -> None:

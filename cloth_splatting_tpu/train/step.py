@@ -324,12 +324,12 @@ class Trainer:
 
     @functools.partial(jax.jit, static_argnames=("self",))
     def _knn_state(self, state: SplatTrainState):
-        from cloth_splatting_tpu.models.deform import simulate
+        from cloth_splatting_tpu.models.deform import simulate_any
         from cloth_splatting_tpu.ops.knn import knn as knn_fn
 
         o = self.cfg.opt
-        verts0 = simulate(state.sim_params, self.mesh_predictions,
-                          jnp.zeros((), jnp.float32))
+        verts0 = simulate_any(state.sim_params, self.mesh_predictions,
+                              jnp.zeros((), jnp.float32))
         means = G.gaussian_positions(state.params, state.gstate, self.mesh,
                                      verts0)
         alive = state.gstate.alive
@@ -462,19 +462,9 @@ class Trainer:
         if new_cap <= old_cap:
             return state
         print(f"[density] growing gaussian capacity {old_cap} -> {new_cap}")
-        grown_params = G.grow_arrays(state.params, old_cap, new_cap)
-        # dead slots get identity quaternions (zero quats are degenerate even
-        # with NaN-safe normalization)
-        rot = grown_params.rotation.at[old_cap:, 0].set(1.0)
-        grown_params = grown_params._replace(rotation=rot)
-        return SplatTrainState(
-            params=grown_params,
-            gstate=G.grow_arrays(state.gstate, old_cap, new_cap),
-            g_opt=G.grow_arrays(state.g_opt, old_cap, new_cap),
-            sim_params=state.sim_params,
-            sim_opt=state.sim_opt,
-            step=state.step,
-        )
+        params, gstate, g_opt = G.grow_state_arrays(
+            state.params, state.gstate, state.g_opt, new_cap)
+        return state._replace(params=params, gstate=gstate, g_opt=g_opt)
 
     # --------------------------------------------------- barycentric cleanup
 

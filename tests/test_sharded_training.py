@@ -214,6 +214,47 @@ class TestBankedShardedStep8Dev:
         assert driver._mesh_capacity(513) % 4 == 0
         assert driver._mesh_capacity(513) >= 513
 
+    def test_static_b1_pad_exceeds_batch(self):
+        """pad > n_cams: the B=1 static stage on a data=4 axis pads 1 -> 4
+        by modular repeat (the old a[:pad] concat under-padded and crashed
+        the shard_map split)."""
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        dmesh = make_mesh(8, data=4)   # (4, 2): pad = 3 > n_cams = 1
+        trainer, driver, state0 = _make(cfg, mesh, preds, cam, params,
+                                        gstate, sim_params, dmesh)
+        cam_bank, gt_bank, _ = _banks(cam)
+        _, ref_metrics = trainer.step_banked(
+            state0, cam_bank, gt_bank, None, 0, [0],
+            sh_degree=0, static=True)
+        sstate = driver.place_state(state0)
+        _, metrics, _ = driver.step_banked(
+            sstate, driver.replicate(cam_bank), driver.replicate(gt_bank),
+            None, 0, [0], sh_degree=0, static=True)
+        np.testing.assert_allclose(float(metrics.loss),
+                                   float(ref_metrics.loss), rtol=1e-4)
+
+    def test_n_dropped_matches_unsharded(self):
+        """Overflow accounting: a tiny k_cap forces tile-instance drops;
+        the sharded count must equal the unsharded count (no pad-row or
+        model-column inflation)."""
+        cfg, mesh, params, gstate, sim_params, preds, cam = _scene()
+        cfg.opt.raster_k_cap = 8
+        cfg.opt.raster_k_chunk = 8
+        dmesh = make_mesh(8)
+        trainer, driver, state0 = _make(cfg, mesh, preds, cam, params,
+                                        gstate, sim_params, dmesh)
+        cam_bank, gt_bank, _ = _banks(cam)
+        _, ref_metrics = trainer.step_banked(
+            state0, cam_bank, gt_bank, None, 0, [0, 1, 2],
+            sh_degree=1, static=False)
+        sstate = driver.place_state(state0)
+        _, metrics, _ = driver.step_banked(
+            sstate, driver.replicate(cam_bank), driver.replicate(gt_bank),
+            None, 0, [0, 1, 2], sh_degree=1, static=False)
+        ref_dropped = int(ref_metrics.n_dropped)
+        assert ref_dropped > 0, "k_cap=8 should overflow on this scene"
+        assert int(metrics.n_dropped) == ref_dropped
+
 
 @pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
