@@ -68,36 +68,54 @@ def evaluate_split(trainer: Trainer, state: SplatTrainState, grid: CameraGrid,
     if save_dir:
         os.makedirs(save_dir, exist_ok=True)
 
-    @jax.jit
-    def eval_one(cam_arr, gt):
-        out = render(
-            cam_arr, trainer.width, trainer.height,
-            trainer.tanfovx, trainer.tanfovy, state.params, state.gstate,
-            trainer.mesh, state.sim_params, trainer.mesh_predictions,
-            trainer.bg_color, sh_degree,
-            k_cap=trainer.cfg.opt.raster_k_cap,
-            k_chunk=trainer.cfg.opt.raster_k_chunk,
-        )
-        img = jnp.clip(out.rgb, 0.0, 1.0)
-        return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt))
+    def make_eval(k_cap):
+        @jax.jit
+        def eval_one(cam_arr, gt):
+            out = render(
+                cam_arr, trainer.width, trainer.height,
+                trainer.tanfovx, trainer.tanfovy, state.params, state.gstate,
+                trainer.mesh, state.sim_params, trainer.mesh_predictions,
+                trainer.bg_color, sh_degree,
+                k_cap=k_cap,
+                k_chunk=min(trainer.cfg.opt.raster_k_chunk, k_cap),
+                backend=trainer.backend,
+            )
+            img = jnp.clip(out.rgb, 0.0, 1.0)
+            return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt)), out.n_dropped
+        return eval_one
 
-    psnrs, l1s = [], []
-    for i, rec in enumerate(records):
-        gt = jnp.asarray(decode_image(rec.image_path, white_background),
-                         jnp.float32) / 255.0
-        p, l1 = eval_one(camera_arrays(rec.camera), gt)
-        psnrs.append(float(p))
-        l1s.append(float(l1))
-        if save_dir and i < 4:
-            import imageio.v2 as imageio
+    # Same exactness contract as eval/render_sets.py: the capless pallas
+    # tier reports 0 dropped; the dense tiled tier grows k_cap until the
+    # whole split renders exact (a densified checkpoint can overflow the
+    # TRAIN k_cap at held-out views — silently truncated eval renders once
+    # under-reported a run by several dB).
+    k_cap = trainer.cfg.opt.raster_k_cap
+    while True:
+        eval_one = make_eval(k_cap)
+        psnrs, l1s, dropped = [], [], 0
+        for rec in records:
+            gt = jnp.asarray(decode_image(rec.image_path, white_background),
+                             jnp.float32) / 255.0
+            p, l1, nd = eval_one(camera_arrays(rec.camera), gt)
+            psnrs.append(float(p))
+            l1s.append(float(l1))
+            dropped = max(dropped, int(nd))
+        if dropped == 0 or k_cap >= 8192:
+            break
+        k_cap *= 2
 
+    if save_dir:
+        import imageio.v2 as imageio
+
+        for i, rec in enumerate(records[:4]):
             out = render(
                 camera_arrays(rec.camera), trainer.width, trainer.height,
                 trainer.tanfovx, trainer.tanfovy, state.params, state.gstate,
                 trainer.mesh, state.sim_params, trainer.mesh_predictions,
                 trainer.bg_color, sh_degree,
-                k_cap=trainer.cfg.opt.raster_k_cap,
-                k_chunk=trainer.cfg.opt.raster_k_chunk)
+                k_cap=k_cap,
+                k_chunk=min(trainer.cfg.opt.raster_k_chunk, k_cap),
+                backend=trainer.backend)
             img = np.asarray(jnp.clip(out.rgb, 0, 1))
             imageio.imwrite(
                 os.path.join(save_dir, f"{rec.image_name or i}_render.png"),

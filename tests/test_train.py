@@ -427,6 +427,47 @@ class TestKCapAutoGrow:
         assert cfg.opt.raster_k_cap > 4          # doubled at least once
         assert all(np.isfinite(l) for l in losses)
 
+    def test_in_loop_eval_grows_cap_until_exact(self, tmp_path):
+        """evaluate_split (the training_report path) must score exactly
+        like metrics.py: with a truncating train k_cap it grows its own
+        eval cap until n_dropped == 0 instead of under-reporting PSNR."""
+        from cloth_splatting_tpu.data.scene import load_cloth_scene
+        from cloth_splatting_tpu.data.synthetic import (
+            generate_synthetic_scene,
+            target_gaussians,
+        )
+        from cloth_splatting_tpu.models.deform import init_residual_simulator
+        from cloth_splatting_tpu.train.config import Config
+        from cloth_splatting_tpu.train.loop import evaluate_split
+
+        scene_dir = str(tmp_path / "scene")
+        generate_synthetic_scene(scene_dir, n_views=3, n_times=2,
+                                 image_size=32, mesh_res=8)
+        scene = load_cloth_scene(scene_dir)
+        mesh = scene.initial_mesh
+        params, gstate = target_gaussians(mesh, sh_degree=0, seed=0)
+        sim = init_residual_simulator(np.random.default_rng(0),
+                                      int(mesh.pos.shape[0]))
+        cam0 = scene.train.get(0, 0).camera
+
+        def run(k_cap):
+            cfg = Config()
+            cfg.opt.raster_backend = "tiled"
+            cfg.opt.raster_k_cap = k_cap
+            cfg.opt.raster_k_chunk = min(16, k_cap)
+            trainer = Trainer(cfg, mesh, jnp.asarray(scene.mesh_predictions),
+                              cam0.width, cam0.height, cam0.tanfovx,
+                              cam0.tanfovy, 2.0)
+            state = trainer.init_state(np.random.default_rng(0), params,
+                                       gstate, sim)
+            return evaluate_split(trainer, state, scene.train, True, 0)
+
+        # the target field (256 gaussians on a 2x2 tile grid) overflows
+        # k_cap=4 massively; the growth loop must recover the exact score
+        exact = run(512)
+        grown = run(4)
+        np.testing.assert_allclose(grown["psnr"], exact["psnr"], rtol=1e-4)
+
     def test_eval_grows_cap_until_exact(self, tmp_path, capsys):
         """render_set must not score a checkpoint through a truncating
         k_cap: it doubles until n_dropped == 0 (a dense 128px checkpoint
