@@ -231,7 +231,7 @@ def train_scene_group(
             for i in range(n_scenes):
                 if Trainer.density_control_due(cfg, iteration):
                     per_scene[i], _ = trainers[i].density_control(
-                        per_scene[i], iteration, sub)
+                        per_scene[i], iteration, jax.random.fold_in(sub, i))
                     changed = True
                 if iteration % o.bary_cleanup == 0:
                     per_scene[i] = trainers[i].cleanup_barycentric(
