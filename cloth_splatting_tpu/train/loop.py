@@ -78,7 +78,7 @@ def evaluate_split(trainer: Trainer, state: SplatTrainState, grid: CameraGrid,
                 trainer.bg_color, sh_degree,
                 k_cap=k_cap,
                 k_chunk=min(trainer.cfg.opt.raster_k_chunk, k_cap),
-                backend=trainer.backend,
+                backend=trainer.backend, bg_static=trainer.bg_static,
             )
             img = jnp.clip(out.rgb, 0.0, 1.0)
             return psnr_fn(img, gt), jnp.mean(jnp.abs(img - gt)), out.n_dropped
@@ -115,7 +115,7 @@ def evaluate_split(trainer: Trainer, state: SplatTrainState, grid: CameraGrid,
                 trainer.bg_color, sh_degree,
                 k_cap=k_cap,
                 k_chunk=min(trainer.cfg.opt.raster_k_chunk, k_cap),
-                backend=trainer.backend)
+                backend=trainer.backend, bg_static=trainer.bg_static)
             img = np.asarray(jnp.clip(out.rgb, 0, 1))
             imageio.imwrite(
                 os.path.join(save_dir, f"{rec.image_name or i}_render.png"),

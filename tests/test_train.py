@@ -450,9 +450,9 @@ class TestKCapAutoGrow:
                                       int(mesh.pos.shape[0]))
         cam0 = scene.train.get(0, 0).camera
 
-        def run(k_cap):
+        def run(k_cap, backend="tiled"):
             cfg = Config()
-            cfg.opt.raster_backend = "tiled"
+            cfg.opt.raster_backend = backend
             cfg.opt.raster_k_cap = k_cap
             cfg.opt.raster_k_chunk = min(16, k_cap)
             trainer = Trainer(cfg, mesh, jnp.asarray(scene.mesh_predictions),
@@ -467,6 +467,13 @@ class TestKCapAutoGrow:
         exact = run(512)
         grown = run(4)
         np.testing.assert_allclose(grown["psnr"], exact["psnr"], rtol=1e-4)
+        # the TPU train backend: pallas is capless — eval must run it
+        # (bg_static threading) and score the scene at the same fidelity
+        # class (the tiers intentionally diverge in far-tail cutoffs /
+        # depth keys, see ARCHITECTURE 'Known divergences': at ~50+ dB on
+        # this trivial scene that's a few dB of spread, not truncation)
+        pallas = run(512, backend="pallas")
+        assert pallas["psnr"] > 45.0, pallas
 
     def test_eval_grows_cap_until_exact(self, tmp_path, capsys):
         """render_set must not score a checkpoint through a truncating
