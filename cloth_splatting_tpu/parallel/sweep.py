@@ -230,8 +230,13 @@ def train_scene_group(
             changed = False
             for i in range(n_scenes):
                 if Trainer.density_control_due(cfg, iteration):
+                    # The SAME key every scene: a solo train_scene(seed) run
+                    # consumes this exact sequence, so sharing it is what
+                    # keeps sweep == N independent sequential runs (the
+                    # equivalence the test pins). Scenes differ in content,
+                    # so the draws decorrelate through the state anyway.
                     per_scene[i], _ = trainers[i].density_control(
-                        per_scene[i], iteration, jax.random.fold_in(sub, i))
+                        per_scene[i], iteration, sub)
                     changed = True
                 if iteration % o.bary_cleanup == 0:
                     per_scene[i] = trainers[i].cleanup_barycentric(

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """NVS metrics CLI (reference metrics.py:40-119 parity).
 
-Walks ``<model>/test/ours_<it>/{renders,gt}`` (and train when present),
-computes SSIM / PSNR / LPIPS-vgg, writes ``results.json``, ``per_view.json``
-and ``results.txt`` with the same schema. LPIPS requires a weights file
+Walks ``<model>/test/ours_<it>/{renders,gt}``, computes SSIM / PSNR /
+LPIPS-vgg, writes ``results.json``, ``per_view.json`` and ``results.txt``
+with the same schema. ``--splits test train`` additionally scores the train
+renders (keys namespaced ``train/<method>`` so the reference test-split
+schema is unchanged). LPIPS requires a weights file
 (see scripts/export_lpips_weights.py) since this environment bundles no
 pretrained VGG; without one it reports null.
 """
@@ -18,7 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def evaluate(model_paths, lpips_weights_path=None):
+def evaluate(model_paths, lpips_weights_path=None, splits=("test",)):
     import jax.numpy as jnp
     import numpy as np
     from PIL import Image
@@ -43,17 +45,24 @@ def evaluate(model_paths, lpips_weights_path=None):
     for model_path in model_paths:
         print(f"Scene: {model_path}")
         full, per_view = {}, {}
-        test_dir = os.path.join(model_path, "test")
-        if not os.path.isdir(test_dir):
-            print(f"  no test dir in {model_path}")
-            continue
-        for method in sorted(os.listdir(test_dir)):
-            mdir = os.path.join(test_dir, method)
+        split_methods = []
+        for split in splits:
+            split_dir = os.path.join(model_path, split)
+            if not os.path.isdir(split_dir):
+                print(f"  no {split} dir in {model_path}")
+                continue
+            for method in sorted(os.listdir(split_dir)):
+                split_methods.append((split, method))
+        for split, method in split_methods:
+            mdir = os.path.join(model_path, split, method)
             renders_dir = os.path.join(mdir, "renders")
             gt_dir = os.path.join(mdir, "gt")
             if not (os.path.isdir(renders_dir) and os.path.isdir(gt_dir)):
                 continue
-            print(f"  method: {method}")
+            # keep the reference results.json schema (keys are method names)
+            # for the default test split; extra splits are namespaced.
+            key = method if split == "test" else f"{split}/{method}"
+            print(f"  method: {key}")
             names = sorted(os.listdir(renders_dir))
             ssims, psnrs, lpipss = [], [], []
             for name in names:
@@ -76,8 +85,8 @@ def evaluate(model_paths, lpips_weights_path=None):
             }
             print(f"    SSIM: {res['SSIM']}  PSNR: {res['PSNR']}  LPIPS: {res['LPIPS']}")
             res["lpips_weights"] = lpips_kind
-            full[method] = res
-            per_view[method] = {
+            full[key] = res
+            per_view[key] = {
                 "SSIM": dict(zip(names, ssims)),
                 "PSNR": dict(zip(names, psnrs)),
                 "LPIPS": dict(zip(names, lpipss)) if lpipss else {},
@@ -96,8 +105,11 @@ def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="NVS metric evaluation")
     parser.add_argument("--model_paths", "-m", nargs="+", required=True)
     parser.add_argument("--lpips_weights", type=str, default=None)
+    parser.add_argument("--splits", nargs="+", default=["test"],
+                        help="render splits to score (default: test, the "
+                             "reference schema; add train for diagnostics)")
     args = parser.parse_args(argv)
-    evaluate(args.model_paths, args.lpips_weights)
+    evaluate(args.model_paths, args.lpips_weights, splits=tuple(args.splits))
 
 
 if __name__ == "__main__":

@@ -218,3 +218,39 @@ class TestLpipsFixtureGolden:
         d = jnp.ones((1, 3, 32, 32), jnp.float32)
         np.testing.assert_allclose(float(lpips_jax.lpips(w, c, d)[0]),
                                    0.027712207287549973, rtol=1e-4)
+
+
+class TestMetricsCLI:
+    """metrics.py evaluate(): reference results.json schema on the test
+    split; --splits train namespaces extra splits without disturbing it."""
+
+    @staticmethod
+    def _write_split(model, split, val):
+        d = os.path.join(model, split, "ours_10")
+        os.makedirs(os.path.join(d, "renders"))
+        os.makedirs(os.path.join(d, "gt"))
+        from PIL import Image
+        img = (np.full((32, 32, 3), val, np.float32) * 255).astype(np.uint8)
+        for name in ("00000.png", "00001.png"):
+            Image.fromarray(img).save(os.path.join(d, "renders", name))
+            Image.fromarray(img).save(os.path.join(d, "gt", name))
+
+    def test_splits_namespacing(self, tmp_path):
+        import json
+
+        import metrics as metrics_cli
+
+        model = str(tmp_path / "exp")
+        self._write_split(model, "test", 0.25)
+        self._write_split(model, "train", 0.75)
+        metrics_cli.main(["-m", model, "--splits", "test", "train"])
+        with open(os.path.join(model, "results.json")) as f:
+            res = json.load(f)
+        assert set(res) == {"ours_10", "train/ours_10"}
+        # identical renders/gt: PSNR capped at the implementation's inf-guard
+        assert res["ours_10"]["PSNR"] > 60
+        assert res["train/ours_10"]["PSNR"] > 60
+        # default invocation keeps the reference schema (test only)
+        metrics_cli.main(["-m", model])
+        with open(os.path.join(model, "results.json")) as f:
+            assert set(json.load(f)) == {"ours_10"}
