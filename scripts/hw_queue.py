@@ -27,8 +27,13 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-PROBE = ("import jax; d = jax.devices(); "
-         "assert d and d[0].platform != 'cpu', d")
+# The probe must RUN a computation, not just list devices: a wedged chip
+# claim (the known two-process failure mode) keeps device listing alive
+# while compute hangs indefinitely — a listing-only probe reports "up"
+# forever and burns every attempt.
+PROBE = ("import jax, jax.numpy as jnp; d = jax.devices(); "
+         "assert d and d[0].platform != 'cpu', d; "
+         "assert float(jnp.arange(8.0).sum()) == 28.0")
 
 
 def device_up(timeout_s: float = 90.0) -> bool:

