@@ -28,13 +28,55 @@ from cloth_splatting_tpu.render import camera_arrays, render
 
 
 def cloth_wave(pos: np.ndarray, t: float, amp: float = 0.15) -> np.ndarray:
-    """Analytic cloth deformation: a traveling wave + drift in z."""
+    """Analytic cloth deformation: a traveling wave + drift in z.
+
+    NOTE: pure-z displacement STRETCHES the sheet (locally up to ~17% edge
+    elongation at t=1) — real cloth is inextensible, and the reference's
+    rigid/deform-mag regularizers assume so. Kept for continuity with the
+    round-1..3 parity numbers; ``cloth_wave_isometric`` is the physically
+    honest default for parity work."""
     x, y = pos[:, 0], pos[:, 1]
     z = pos[:, 2] + amp * np.sin(4.0 * x + 6.0 * t) * np.cos(3.0 * y) * t
     out = pos.copy()
     out[:, 2] = z
     out[:, 1] = y + 0.1 * t
     return out
+
+
+def cloth_wave_isometric(pos: np.ndarray, t: float,
+                         amp: float = 0.6) -> np.ndarray:
+    """Inextensible traveling wave: a developable (cylindrical) bend.
+
+    The sheet's x-lines follow a planar curve given by its tangent angle
+    theta(s) = amp * t * sin(4 s + 6 t), integrated as X' = cos(theta),
+    Z' = sin(theta) over material coordinate s — arc length is preserved
+    EXACTLY by construction (|curve'| = 1), y-lines ride rigidly, so every
+    edge keeps its rest length: the deformation a physical cloth (and the
+    reference's rigidity regularizers, train_utils.py:50-102) actually
+    admits. ``amp`` is the peak bend angle in radians (0.6 rad gives z
+    excursions comparable to cloth_wave's 0.15 units). Plus the same 0.1*t
+    y-drift (rigid)."""
+    x, y = pos[:, 0], pos[:, 1]
+    # fine material grid covering the sheet, one tangent-angle integral per t
+    s = np.linspace(x.min() - 1e-6, x.max() + 1e-6, 4097)
+    theta = amp * t * np.sin(4.0 * s + 6.0 * t)
+    ds = s[1] - s[0]
+    # trapezoid cumulative integrals of (cos, sin) theta
+    cx = np.concatenate([[0.0], np.cumsum(
+        0.5 * (np.cos(theta[1:]) + np.cos(theta[:-1])) * ds)])
+    cz = np.concatenate([[0.0], np.cumsum(
+        0.5 * (np.sin(theta[1:]) + np.sin(theta[:-1])) * ds)])
+    big_x = s[0] + cx
+    # keep the sheet centered: remove the mean in-plane shrink drift
+    big_x = big_x - (big_x.mean() - s.mean())
+    out = pos.copy()
+    out[:, 0] = np.interp(x, s, big_x)
+    out[:, 2] = pos[:, 2] + np.interp(x, s, cz)
+    out[:, 1] = y + 0.1 * t
+    return out
+
+
+WAVES = {"stretchy": cloth_wave, "isometric": cloth_wave_isometric}
 
 
 def orbit_camera(view: int, n_views: int, fov: float, width: int, height: int,
@@ -122,6 +164,7 @@ def generate_synthetic_scene(
     prediction_noise: float = 0.0,
     noise_mode: str = "iid",
     seed: int = 0,
+    wave: str = "stretchy",
 ) -> str:
     """Render a full synthetic dataset; returns out_dir.
 
@@ -130,6 +173,11 @@ def generate_synthetic_scene(
     residual simulator exists to fix). ``noise_mode='iid'`` is per-vertex
     white noise (an adversarial worst case); ``'smooth'`` is a spatially and
     temporally correlated field at the same RMS (how real rollouts err).
+
+    ``wave`` selects the deformation family: 'stretchy' (the r1-r3 pure-z
+    wave, which elongates edges — a motion no physical cloth performs and
+    one the reference's rigidity regularizers rightly fight) or 'isometric'
+    (an inextensible developable bend; the honest parity task).
     """
     import imageio.v2 as imageio
 
@@ -140,7 +188,8 @@ def generate_synthetic_scene(
 
     rest = np.asarray(rest_mesh.pos)
     times = np.linspace(0.0, 1.0, n_times)
-    traj = np.stack([cloth_wave(rest, t) for t in times])           # [T, V, 3]
+    wave_fn = WAVES[wave]
+    traj = np.stack([wave_fn(rest, t) for t in times])              # [T, V, 3]
 
     # meshes on disk
     save_mesh_h5(os.path.join(out_dir, "init_mesh.hdf5"), rest_mesh)

@@ -16,13 +16,12 @@ scene's densify runs on the device that owns it; capacities are re-equalized
 group-wide afterwards (shared static shapes are the one constraint of the
 axis).
 
-Sampling uses ONE shared (view, time) draw per iteration from the same
-default seed as ``train.py``. (The draw SEQUENCE is not bit-identical to a
-sequential run's: train_scene threads its numpy Generator through
-init_state before sampling, so the streams diverge — same distribution,
-same schedule shape, different draws. tests/test_scene_sweep.py pins
-functional equivalence: a sweep run renders within >30 dB cross-PSNR of
-the matching sequential train_scene run.)
+Sampling uses ONE shared (view, time) draw per iteration from the SAME
+dedicated sampling stream (``default_rng([seed, 1])``) train_scene draws
+from, with per-scene init generators fresh at ``seed`` — so a sweep
+consumes exactly the draw sequence of N independent sequential
+``train_scene(seed)`` runs. tests/test_scene_sweep.py pins this
+equivalence against an actual sequential run.
 """
 
 from __future__ import annotations
@@ -189,7 +188,10 @@ def train_scene_group(
         jnp.stack([tr.mesh_predictions for tr in trainers]), smesh)
 
     steps: dict[tuple, object] = {}
-    rng = np.random.default_rng(seed)
+    # the SAME dedicated sampling stream train_scene draws from — with
+    # per-scene init generators fresh at `seed` (above), every random draw
+    # of this sweep now matches a sequential train_scene(seed) run exactly
+    rng = np.random.default_rng([seed, 1])
     key = jax.random.PRNGKey(seed)
     n_views, n_times = scenes[0].train.n_views, scenes[0].train.n_times
     sh_degree = 0

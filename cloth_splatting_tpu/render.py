@@ -89,6 +89,7 @@ def render(
     backend: str = "tiled",
     bg_static: tuple[float, float, float] | None = None,
     gather_axis: str | None = None,
+    pack_order: str = "exact",
 ) -> RenderOutput:
     """Render one camera. ``sh_degree`` is the ACTIVE degree (static int).
 
@@ -162,6 +163,7 @@ def render(
         rgb, depth, alpha, _ = rasterize_pallas(
             proj_full, width, height, bg_static,
             interpret=jax.default_backend() == "cpu",
+            pack_order=pack_order,
         )
         n_dropped = jnp.zeros((), jnp.int32)
     elif backend == "pallas":
@@ -178,6 +180,7 @@ def render(
         rgb, depth, alpha = rasterize_pallas_grad(
             proj_full, width, height, bg_static,
             interpret=jax.default_backend() == "cpu",
+            pack_order=pack_order,
         )
         n_dropped = jnp.zeros((), jnp.int32)
     else:

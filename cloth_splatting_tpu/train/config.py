@@ -132,6 +132,10 @@ class OptimizationConfig:
     # "auto": Pallas custom-VJP rasterizer on TPU, dense XLA tier on CPU;
     # "pallas" / "tiled" force one
     raster_backend: str = "auto"
+    # Pallas-tier instance ordering: 'exact' lexicographic (tile, f32 depth)
+    # sort, or 'fused' single-i32-key sort (CUDA radix-key semantics; see
+    # ops/rasterize/pallas_tiled.sorted_pack)
+    raster_pack_order: str = "exact"
 
 
 @dataclasses.dataclass

@@ -275,6 +275,13 @@ def train_scene(
     os.makedirs(out_dir, exist_ok=True)
     o = cfg.opt
     rng = np.random.default_rng(seed)
+    # (view, time) sampling draws from a DEDICATED stream — init_state
+    # consumes `rng` for a shape-dependent number of draws, so sampling off
+    # the same generator would make the sequence irreproducible by any
+    # driver that initializes states differently. The scene-parallel sweep
+    # (parallel/sweep.py) constructs this exact stream, which is what makes
+    # sweep == N sequential runs EXACT (tests/test_scene_sweep.py).
+    sample_rng = np.random.default_rng([seed, 1])
     key = jax.random.PRNGKey(seed)
 
     mesh = scene.initial_mesh
@@ -352,8 +359,8 @@ def train_scene(
             vi = iteration % scene.train.n_views
             t_ids = [0]
         else:
-            vi = int(rng.integers(scene.train.n_views))
-            t_ids = sample_time_ids(rng, n_times, three_steps_batch,
+            vi = int(sample_rng.integers(scene.train.n_views))
+            t_ids = sample_time_ids(sample_rng, n_times, three_steps_batch,
                                     getattr(o, "time_sample", "interior"))
 
         state, metrics, carry = driver.step_banked(

@@ -36,7 +36,10 @@ PROBE = ("import jax, jax.numpy as jnp; d = jax.devices(); "
          "assert float(jnp.arange(8.0).sum()) == 28.0")
 
 
-def device_up(timeout_s: float = 90.0) -> bool:
+def device_up(timeout_s: float = 300.0) -> bool:
+    # generous: the probe subprocess shares the host with CPU test suites,
+    # and jax import + tunnel init + one tiny compile can exceed 90s under
+    # load — a starved probe must not read as a device outage
     try:
         return subprocess.run(
             [sys.executable, "-c", PROBE], capture_output=True,

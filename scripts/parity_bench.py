@@ -69,6 +69,12 @@ def main(argv=None) -> None:
     p.add_argument("--iterations", type=int, default=2000)
     p.add_argument("--static", type=int, default=500)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wave", type=str, default="stretchy",
+                   choices=("stretchy", "isometric"),
+                   help="'isometric' = inextensible developable bend (the "
+                        "physically honest task: the reference regularizers "
+                        "assume cloth doesn't stretch); 'stretchy' = the "
+                        "r1-r3 pure-z wave, kept for ladder continuity")
     p.add_argument("--train_args", type=str, default="",
                    help="extra args appended to the train.py call, e.g. "
                         "'--densify_until_iter 6000 --sh_degree 2'")
@@ -90,7 +96,7 @@ def main(argv=None) -> None:
             scene, n_views=args.n_views, n_times=args.n_times,
             image_size=args.image_size, mesh_res=args.mesh_res,
             prediction_noise=args.prediction_noise,
-            noise_mode=args.noise_mode, seed=args.seed)
+            noise_mode=args.noise_mode, seed=args.seed, wave=args.wave)
 
     run("train.py", "-s", scene, "-m", exp,
         "--iterations", args.iterations,
@@ -127,6 +133,7 @@ def main(argv=None) -> None:
         "iterations": args.iterations,
         "prediction_noise": args.prediction_noise,
         "noise_mode": args.noise_mode,
+        "wave": args.wave,
     }))
 
 

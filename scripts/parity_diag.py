@@ -37,6 +37,8 @@ def main() -> None:
     p.add_argument("--n_views", type=int, default=24)
     p.add_argument("--n_times", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wave", type=str, default="stretchy",
+                   choices=("stretchy", "isometric"))
     args = p.parse_args()
 
     import imageio.v2 as imageio
@@ -46,7 +48,7 @@ def main() -> None:
 
     from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
     from cloth_splatting_tpu.data.synthetic import (
-        cloth_wave,
+        WAVES,
         generate_synthetic_scene,
         orbit_camera,
         target_gaussians,
@@ -57,13 +59,13 @@ def main() -> None:
     generate_synthetic_scene(
         scene, n_views=args.n_views, n_times=args.n_times,
         image_size=args.image_size, mesh_res=args.mesh_res,
-        prediction_noise=0.0, seed=args.seed)
+        prediction_noise=0.0, seed=args.seed, wave=args.wave)
 
     rest_mesh = grid_cloth_mesh(args.mesh_res, args.mesh_res, size=1.4)
     params, state = target_gaussians(rest_mesh, sh_degree=3, seed=args.seed)
     rest = np.asarray(rest_mesh.pos)
     times = np.linspace(0.0, 1.0, args.n_times)
-    traj = np.stack([cloth_wave(rest, t) for t in times])
+    traj = np.stack([WAVES[args.wave](rest, t) for t in times])
     fov = 2 * np.arctan(0.4)
     bg = jnp.ones(3)
     size = args.image_size

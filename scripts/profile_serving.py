@@ -31,6 +31,11 @@ def main(argv=None) -> None:
     p.add_argument("--mesh_res", type=int, default=128, help="128 -> 65k")
     p.add_argument("--n_views", type=int, default=40)
     p.add_argument("--size", type=int, default=800)
+    p.add_argument("--pack_order", type=str, default="exact",
+                   choices=("exact", "fused"),
+                   help="instance-ordering strategy under test (the pack "
+                        "was 34% of the r3 frame; 'fused' is the single-"
+                        "i32-key CUDA-semantics sort)")
     args = p.parse_args(argv)
 
     import jax
@@ -80,12 +85,14 @@ def main(argv=None) -> None:
     def stage_full(c):
         proj = front(c)
         rgb, _, _, _ = rasterize_pallas(proj, w, h, (1.0, 1.0, 1.0),
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        pack_order=args.pack_order)
         return rgb[:, ::200, ::200]
 
     def stage_pack(c):
         proj = front(c)
-        packed = sorted_pack(proj, tw, th, tile_size, win)
+        packed = sorted_pack(proj, tw, th, tile_size, win,
+                             order=args.pack_order)
         return packed.rows16[:, ::999], packed.starts[::37]
 
     def stage_front(c):
@@ -113,6 +120,7 @@ def main(argv=None) -> None:
         "metric": "serving_breakdown_ms_per_frame",
         "n_gaussians": int(np.sum(np.asarray(state.alive))),
         "size": args.size,
+        "pack_order": args.pack_order,
         "full": round(full_ms, 3),
         "front_end": round(front_ms, 3),
         "pack_incl_front": round(pack_ms, 3),

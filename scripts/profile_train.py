@@ -39,6 +39,8 @@ def main(argv=None) -> None:
     p.add_argument("--capacity", type=int, default=32768)
     p.add_argument("--size", type=int, default=800)
     p.add_argument("--n_iters", type=int, default=20)
+    p.add_argument("--pack_order", type=str, default="exact",
+                   choices=("exact", "fused"))
     args = p.parse_args(argv)
 
     import jax
@@ -57,6 +59,7 @@ def main(argv=None) -> None:
     fov = 2 * np.arctan(0.4)
     mesh = grid_cloth_mesh(args.mesh_res, args.mesh_res, size=1.4)
     cfg = Config()
+    cfg.opt.raster_pack_order = args.pack_order
     trainer = Trainer(cfg, mesh, jnp.tile(mesh.pos[None], (3, 1, 1)),
                       width, height, np.tan(fov / 2), np.tan(fov / 2), 2.0)
     rng = np.random.default_rng(0)
@@ -82,7 +85,8 @@ def main(argv=None) -> None:
                 trainer.mesh_predictions, trainer.bg_color, 1,
                 screen_offset=screen_offset, render_static=False,
                 k_cap=o.raster_k_cap, k_chunk=o.raster_k_chunk,
-                backend=trainer.backend, bg_static=trainer.bg_static)
+                backend=trainer.backend, bg_static=trainer.bg_static,
+                pack_order=args.pack_order)
 
         outs: RenderOutput = jax.lax.map(render_one, cams)
         loss, _ = image_losses(outs.rgb, gts, lambda_dssim, None)
@@ -125,6 +129,7 @@ def main(argv=None) -> None:
         "metric": "train_step_breakdown_ms",
         "mesh_res": args.mesh_res,
         "capacity": args.capacity,
+        "pack_order": args.pack_order,
         "n_alive": int(4 * args.mesh_res * args.mesh_res * 2 / 2),
         "full_ms": round(t_full * 1e3, 2),
         "fwd_ms": round(t_fwd * 1e3, 2),

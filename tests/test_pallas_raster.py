@@ -86,6 +86,65 @@ class TestPallasParity:
         assert int(aux.n_dropped) == 0
 
 
+class TestPackOrder:
+    """'fused' single-i32-key binning (tile major, truncated-float-depth
+    minor — the CUDA radix-key semantics) vs the 'exact' lexicographic sort:
+    same images wherever depths are separated by more than the key quantum."""
+
+    def test_depth_bits_layout(self):
+        from cloth_splatting_tpu.ops.rasterize.pallas_tiled import (
+            fused_depth_bits,
+        )
+
+        for n_tiles in (16, 625, 2500):
+            bits = fused_depth_bits(n_tiles)
+            # sentinel tile (= n_tiles) with all depth bits set must fit i32
+            assert (n_tiles << bits) | ((1 << bits) - 1) < 2 ** 31
+            assert bits >= 18  # tens-of-bits depth resolution at any real size
+
+    @pytest.mark.parametrize("seed", [0, 2, 5])
+    def test_fused_matches_exact(self, seed):
+        proj = project_scene(n=96, seed=seed)
+        out_e = rasterize_pallas(proj, W, H, (1.0, 1.0, 1.0), interpret=True,
+                                 pack_order="exact")
+        out_f = rasterize_pallas(proj, W, H, (1.0, 1.0, 1.0), interpret=True,
+                                 pack_order="fused")
+        for name, a, b in zip(("rgb", "dep", "acc"), out_e[:3], out_f[:3]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5, err_msg=name)
+
+    def test_fused_grads_match_oracle(self):
+        import jax
+
+        from cloth_splatting_tpu.ops.rasterize.pallas_train import (
+            rasterize_pallas_grad,
+        )
+
+        proj = project_scene(n=48, seed=0)
+        tgt = jnp.asarray(
+            np.random.default_rng(1).uniform(0, 1, (3, H, W)), jnp.float32)
+
+        def loss_oracle(xy, color, op):
+            p = proj._replace(xy=xy, color=color, opacity=op)
+            rgb, _, _ = rasterize_reference(p, W, H, jnp.ones(3))
+            return jnp.mean((rgb - tgt) ** 2)
+
+        def loss_fused(xy, color, op):
+            p = proj._replace(xy=xy, color=color, opacity=op)
+            rgb, _, _ = rasterize_pallas_grad(p, W, H, (1.0, 1.0, 1.0),
+                                              interpret=True,
+                                              pack_order="fused")
+            return jnp.mean((rgb - tgt) ** 2)
+
+        args = (proj.xy, proj.color, proj.opacity)
+        g_o = jax.grad(loss_oracle, argnums=(0, 1, 2))(*args)
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(*args)
+        for name, a, b in zip(("xy", "color", "op"), g_o, g_f):
+            scale = float(jnp.abs(a).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-4 * scale, err_msg=name)
+
+
 class TestPallasVJP:
     """Custom-VJP training tier: analytic backward kernel vs oracle autodiff
     (reference backward contract: grads to means2D/conic/color/opacity,
@@ -370,9 +429,13 @@ class TestSpanPath:
 
 
 class TestTrainSpanPath:
-    """The train-forward span path must leave values AND gradients
-    bit-identical: same chunk math, same transmittance-boundary saves
-    feeding the unchanged backward kernel."""
+    """The train-forward span path must leave values bit-identical (same
+    chunk math, same transmittance-boundary saves). Gradients agree to fp
+    reassociation only: the default (span_cap=None) backward is the
+    forward-order rolling-accumulator kernel, whose suffix S_i comes from
+    U_tot minus a forward prefix, while the span path keeps the reverse
+    sweep's back-to-front carry — algebraically identical, different
+    summation order."""
 
     # (2,1) stays in the fast tier (overflow fallback covered); the wide
     # (4,8) span is the same code path at ~2x the interpret cost -> slow.
@@ -403,7 +466,9 @@ class TestTrainSpanPath:
                                     argnums=(0, 1, 2, 3))(*args)
         assert float(v0) == float(v1)
         for a, b in zip(g0, g1):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            scale = float(jnp.abs(a).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5 * scale)
 
     @pytest.mark.slow
     @pytest.mark.parametrize("tpp,span_cap", [(4, 8)])
@@ -433,4 +498,6 @@ class TestTrainSpanPath:
         _, g1 = jax.value_and_grad(make_loss(tpp, span_cap),
                                    argnums=(0, 1, 2))(*args)
         for a, b in zip(g0, g1):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            scale = float(jnp.abs(a).max()) + 1e-12
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=1e-5 * scale)

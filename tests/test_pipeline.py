@@ -64,6 +64,52 @@ class TestSmoothPredictionError:
         assert np.all(np.isfinite(np.asarray(m0.pos)))
 
 
+class TestIsometricWave:
+    """cloth_wave_isometric must be inextensible: the deformation a physical
+    cloth admits and the one the reference's rigid/deform regularizers
+    (train_utils.py:50-102) assume. The r1-r3 'stretchy' wave elongates
+    edges up to ~16%, putting the loss optimum AWAY from the true state —
+    the measured PSNR-declines-with-amplitude ceiling."""
+
+    def test_edge_lengths_preserved(self):
+        import numpy as np
+
+        from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+        from cloth_splatting_tpu.data.synthetic import (
+            cloth_wave,
+            cloth_wave_isometric,
+        )
+
+        mesh = grid_cloth_mesh(24, 24, size=1.4)
+        pos = np.asarray(mesh.pos)
+        e = np.asarray(mesh.edge_index)
+        rest = np.linalg.norm(pos[e[1]] - pos[e[0]], axis=-1)
+        # qhull joggle leaves a few long boundary-sliver edges whose CHORD
+        # shortens under any bend; judge the regular grid edges
+        regular = rest < 0.1
+        for t in (0.3, 0.7, 1.0):
+            p_iso = cloth_wave_isometric(pos, t)
+            l_iso = np.linalg.norm(p_iso[e[1]] - p_iso[e[0]], axis=-1)
+            strain = np.abs(l_iso / rest - 1.0)[regular]
+            assert strain.max() < 2e-3, strain.max()
+        # the old wave is demonstrably non-isometric at t=1 (the contrast
+        # this test exists to document)
+        p_old = cloth_wave(pos, 1.0)
+        l_old = np.linalg.norm(p_old[e[1]] - p_old[e[0]], axis=-1)
+        assert np.abs(l_old / rest - 1.0)[regular].max() > 0.05
+
+    def test_deformation_magnitude_comparable(self):
+        import numpy as np
+
+        from cloth_splatting_tpu.data.meshing import grid_cloth_mesh
+        from cloth_splatting_tpu.data.synthetic import cloth_wave_isometric
+
+        mesh = grid_cloth_mesh(24, 24, size=1.4)
+        pos = np.asarray(mesh.pos)
+        dz = np.abs(cloth_wave_isometric(pos, 1.0)[:, 2] - pos[:, 2]).max()
+        assert 0.1 < dz < 0.5  # a real deformation, same order as the old amp
+
+
 class TestIO:
     def test_ply_roundtrip(self, tmp_path):
         cols = {"x": np.arange(5, dtype=np.float32),

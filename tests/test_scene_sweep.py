@@ -104,8 +104,24 @@ class TestSweepMatchesSequential:
                     jnp.ones((3,), jnp.float32), 0, k_cap=128, k_chunk=16)
                 return jnp.clip(out.rgb, 0, 1)
 
+            # equivalence: both drivers consume identical init + sampling +
+            # densify RNG streams (dedicated [seed, 1] sampling generator).
+            # Bit-equality is NOT attainable — shard_map compiles a
+            # different program, whose fp reassociation drifts ~1e-4 over
+            # 40 iters and can flip individual densify-threshold
+            # comparisons — so the pin is: same schedule (step counts),
+            # same population (alive counts), same fit (the cross-PSNR bar
+            # sits far above the 30 dB that fully-divergent draws gave,
+            # and the median param delta is at fp-drift scale).
+            assert int(par[i].step) == int(seq[i].step)
+            n_par = int(jnp.sum(par[i].gstate.alive))
+            n_seq = int(jnp.sum(seq[i].gstate.alive))
+            assert abs(n_par - n_seq) <= max(2, n_seq // 50), (n_par, n_seq)
+            med = float(jnp.median(jnp.abs(
+                par[i].params.face_bary - seq[i].params.face_bary)))
+            assert med < 1e-3, med
             cross = float(psnr_fn(img(par[i]), img(seq[i])))
-            assert cross > 30.0, f"scene {i}: sweep vs sequential {cross:.2f} dB"
+            assert cross > 45.0, f"scene {i}: sweep vs sequential {cross:.2f} dB"
             # sweep wrote the reference-layout checkpoint
             assert os.path.exists(os.path.join(
                 par_dirs[i], "point_cloud", "iteration_40",
