@@ -48,7 +48,10 @@ def device_up(timeout_s: float = 300.0) -> bool:
         return False
 
 
-def wait_for_device(deadline: float, poll_s: float = 120.0) -> bool:
+def wait_for_device(deadline: float, poll_s: float = 45.0) -> bool:
+    # short poll: the chip claim can take ~1-2 min to release after a job
+    # exits, which reads as one failed probe between back-to-back jobs —
+    # a long poll would turn that release lag into dead queue time
     while True:
         if device_up():
             return True
@@ -74,6 +77,14 @@ def main(argv=None) -> int:
     os.makedirs(args.logdir, exist_ok=True)
     deadline = time.time() + args.deadline_s
     status = {j["name"]: {"state": "pending", "attempts": 0} for j in jobs}
+    # restart-safe: completed jobs in an existing status.json stay done, so
+    # a queue restart (code fix, host reboot) never re-burns chip time
+    prev_path = os.path.join(args.logdir, "status.json")
+    if os.path.exists(prev_path):
+        with open(prev_path) as f:
+            for name, st in json.load(f).items():
+                if name in status and st.get("state") == "ok":
+                    status[name] = st
 
     def checkpoint():
         with open(os.path.join(args.logdir, "status.json"), "w") as f:
@@ -83,6 +94,9 @@ def main(argv=None) -> int:
     for job in jobs:
         name, st = job["name"], status[job["name"]]
         log_path = os.path.join(args.logdir, f"{name}.log")
+        if st["state"] == "ok":
+            print(f"hwq: {name}: already ok (resumed)", flush=True)
+            continue
         while st["attempts"] < args.max_attempts:
             if not wait_for_device(deadline):
                 st["state"] = "deadline(device down)"

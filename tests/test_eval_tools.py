@@ -55,6 +55,47 @@ class TestTracking:
         assert mte.mean() < 1e-4
 
 
+class TestMTEDecompose:
+    def test_known_fit_error(self, tmp_path):
+        """Predicted trajectories lag the GT motion by a constant 5 mm in x:
+        the decomposition must attribute exactly that to fit error, with a
+        near-zero match offset."""
+        import contextlib
+        import io
+        import json
+        import sys
+
+        rng = np.random.default_rng(0)
+        t_steps, m = 4, 50
+        gt0 = rng.uniform(-1, 1, (m, 3))
+        disp = rng.normal(0, 0.05, (t_steps, 1, 3))
+        disp[0] = 0.0
+        gt = gt0[None] + disp
+        lag = np.zeros((t_steps, 1, 3))
+        lag[1:, 0, 0] = 0.005
+        pred = gt - lag                                # same points, lagged
+        trajs = tmp_path / "all_trajs.npz"
+        gtf = tmp_path / "gt.npz"
+        np.savez(trajs, traj=pred)
+        np.savez(gtf, traj=gt)
+
+        scripts = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts")
+        sys.path.insert(0, scripts)
+        try:
+            import mte_decompose
+        finally:
+            sys.path.remove(scripts)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            mte_decompose.main(["--trajs", str(trajs), "--gt", str(gtf)])
+        out = json.loads(buf.getvalue())
+        # mean over T of |lag|: 3 of 4 steps lag 5 mm -> 3.75 mm
+        assert abs(out["mte_fit_true_transport"] - 3.75) < 0.01, out
+        assert out["match_offset_mean"] < 1e-6
+        assert abs(out["mte_translation_only"] - 3.75) < 0.01, out
+
+
 class TestFlowViz:
     def test_palette_and_draw(self):
         img = np.zeros((32, 32, 3), np.uint8)
