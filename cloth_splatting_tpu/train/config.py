@@ -136,6 +136,17 @@ class OptimizationConfig:
     # sort, or 'fused' single-i32-key sort (CUDA radix-key semantics; see
     # ops/rasterize/pallas_tiled.sorted_pack)
     raster_pack_order: str = "exact"
+    # Polyak/EMA evaluation (new capability, off by default for reference
+    # parity). Adam's normalized update is ~LR-sized even at an optimum, so
+    # the iterate never settles: the r4 truth probes measure a from-exact-GT
+    # fit wandering a 44-49 dB band under constant group LRs. With
+    # param_ema = d > 0 (e.g. 0.995), evals/checkpoints use an exponential
+    # moving average of (gaussian, simulator) params — the basin center
+    # instead of one jittered sample — while the optimizer itself is
+    # untouched. The EMA resets on density-control/cleanup events (slot
+    # contents change identity); training-resume checkpoints keep RAW
+    # params. Ignored by the scene-parallel sweep driver.
+    param_ema: float = 0.0
 
 
 @dataclasses.dataclass

@@ -334,6 +334,43 @@ def train_scene(
     overflow_ticks = 0
     K_CAP_MAX = 8192
 
+    # Polyak/EMA evaluation (config.param_ema): a tiny separate jitted
+    # program per iteration — async dispatch, ~0 wall cost — instead of a
+    # new SplatTrainState field, so checkpoints, sharding specs and density
+    # surgery stay untouched. EMA covers BOTH param trees: Gaussian jitter
+    # costs PSNR, simulator-weight jitter costs vertex accuracy (MTE).
+    ema_decay = float(getattr(o, "param_ema", 0.0))
+    ema_avg = None
+    if ema_decay > 0.0:
+        @jax.jit
+        def _ema_update(avg, cur):
+            return jax.tree_util.tree_map(
+                lambda a, b: a * ema_decay + (1.0 - ema_decay) * b, avg, cur)
+
+        @jax.jit
+        def _ema_repair(avg_g, old_g, new_g):
+            """Row-wise repair after a host event (densify/prune/reset/bary
+            cleanup): rows whose params the event REWROTE get reloaded (a
+            stale average would blend different Gaussians' identities);
+            untouched rows keep their average — so an event landing on the
+            save iteration doesn't silently discard the whole EMA."""
+            changed = None
+            for old, new in zip(jax.tree_util.tree_leaves(old_g),
+                                jax.tree_util.tree_leaves(new_g)):
+                row = jnp.any((old != new).reshape(old.shape[0], -1), axis=1)
+                changed = row if changed is None else (changed | row)
+            return jax.tree_util.tree_map(
+                lambda a, n: jnp.where(
+                    changed.reshape((-1,) + (1,) * (n.ndim - 1)), n, a),
+                avg_g, new_g)
+
+    def _with_ema(st):
+        """State with eval-facing params swapped for their EMA."""
+        if ema_avg is None:
+            return st
+        g, sim = jax.device_get(ema_avg)
+        return st._replace(params=g, sim_params=sim)
+
     for iteration in range(first_iter, o.iterations + 1):
         static = o.static_reconst and iteration < o.static_reconst_iteration
 
@@ -369,6 +406,15 @@ def train_scene(
             knn_state=knn_state if knn_active else None, carry=carry,
         )
 
+        if ema_decay > 0.0:
+            cur = (state.params, state.sim_params)
+            ema_avg = cur if ema_avg is None else _ema_update(ema_avg, cur)
+
+        host_event = (Trainer.density_control_due(cfg, iteration)
+                      or iteration % o.bary_cleanup == 0)
+        params_before = state.params if (ema_decay > 0.0 and host_event) \
+            else None
+
         key, sub = jax.random.split(key)
         state, overflow = driver.density_control(state, iteration, sub)
         if overflow:
@@ -377,6 +423,15 @@ def train_scene(
 
         if iteration % o.bary_cleanup == 0:
             state = driver.cleanup_barycentric(state)
+
+        if params_before is not None:
+            if (state.params.face_bary.shape[0]
+                    != params_before.face_bary.shape[0]):
+                # capacity grew: shapes changed, restart the average
+                ema_avg = (state.params, state.sim_params)
+            else:
+                ema_avg = (_ema_repair(ema_avg[0], params_before,
+                                       state.params), ema_avg[1])
 
         # Metrics stay ON DEVICE between progress ticks: every blocking
         # device->host fetch costs a full round trip (~25 ms through the TPU
@@ -424,6 +479,7 @@ def train_scene(
         if iteration in test_iterations:
             eval_state = (driver.host_state(state)
                           if device_mesh is not None else state)
+            eval_state = _with_ema(eval_state)
             ev = evaluate_split(
                 trainer, eval_state, scene.test, scene.white_background, sh_degree,
                 save_dir=(os.path.join(out_dir, "test_renders",
@@ -436,7 +492,11 @@ def train_scene(
                           step=iteration)
 
         if iteration in save_iterations:
-            save_scene_checkpoint(out_dir, iteration, trainer, state)
+            # the saved PLY/mesh is the EVAL artifact (render.py/metrics.py
+            # score it) -> averaged params; train-resume checkpoints below
+            # keep the raw iterate
+            save_scene_checkpoint(out_dir, iteration, trainer,
+                                  _with_ema(state))
 
         if iteration in checkpoint_iterations:
             path = save_train_checkpoint(out_dir, iteration, state)
