@@ -414,6 +414,17 @@ def _bwd_kernel_fwd_order(tile_size: int, tw: int,
             pltpu.make_async_copy(gacc.at[s], grads3d_hbm.at[0],
                                   osem.at[s]).wait()
 
+        def set_pend(s, value):
+            # static SMEM indices only (dynamic SMEM stores are not a
+            # Mosaic-proven pattern; dynamic .at[] on VMEM/semaphores is)
+            @pl.when(s == 0)
+            def _():
+                st[2] = value
+
+            @pl.when(s == 1)
+            def _():
+                st[3] = value
+
         def advance_to(f):
             @pl.when(st[0] != f)
             def _():
@@ -422,15 +433,16 @@ def _bwd_kernel_fwd_order(tile_size: int, tw: int,
                     s = st[1]
                     pltpu.make_async_copy(gacc.at[s], grads3d_hbm.at[st[0]],
                                           osem.at[s]).start()
-                    st[2 + s] = 1
+                    set_pend(s, 1)
                     st[1] = 1 - s
 
                 s2 = st[1]
+                pend2 = jnp.where(s2 == 0, st[2], st[3])
 
-                @pl.when(st[2 + s2] == 1)
+                @pl.when(pend2 == 1)
                 def _():
                     osem_wait(s2)
-                    st[2 + s2] = 0
+                    set_pend(s2, 0)
 
                 gacc[s2] = jnp.zeros((PACK16, CHUNK), jnp.float32)
                 st[0] = f
@@ -514,10 +526,10 @@ def _bwd_kernel_fwd_order(tile_size: int, tw: int,
                 s = st[1]
                 pltpu.make_async_copy(gacc.at[s], grads3d_hbm.at[st[0]],
                                       osem.at[s]).start()
-                st[2 + s] = 1
+                set_pend(s, 1)
 
             for s in (0, 1):
-                @pl.when(st[2 + s] == 1)
+                @pl.when(st[2 + s] == 1)  # s is a PYTHON int: static index
                 def _():
                     osem_wait(s)
                     st[2 + s] = 0
