@@ -222,6 +222,14 @@ def generate_synthetic_scene(
     # by scripts/parity_diag.py rendering the TRUE parameters.
     cam0 = orbit_camera(0, n_views, fov, image_size, image_size, 0.0)
     black = jnp.zeros(3)
+    # GT must go through the SAME rasterizer tier the pipeline evaluates
+    # (and trains) through, or the metric saturates on tier semantics
+    # instead of fit quality: identical parameters scored 64.5 dB through
+    # the dense tiled tier but 49.4 dB through the Pallas serving tier
+    # (CUDA-contract T<1e-4 early exit) against tiled-made GT (r04a
+    # parity_diag; VERDICT r4 weak #6). eval/render_sets.py picks
+    # pallas_fwd off-CPU — mirror that selection exactly here.
+    use_pallas = jax.default_backend() != "cpu"
 
     @jax.jit
     def render_time(cam_bank, verts):
@@ -231,7 +239,9 @@ def generate_synthetic_scene(
             out = render(cam_arr, image_size, image_size, cam0.tanfovx,
                          cam0.tanfovy, params, state, rest_mesh, None, None,
                          black, 3, render_static=True,
-                         override_vertices=verts, k_cap=256, k_chunk=16)
+                         override_vertices=verts, k_cap=256, k_chunk=16,
+                         backend="pallas_fwd" if use_pallas else "tiled",
+                         bg_static=(0.0, 0.0, 0.0))
             prem = jnp.clip(out.rgb, 0, 1)
             alpha_f = jnp.clip(out.alpha[0], 0, 1)
             straight = jnp.clip(prem / jnp.maximum(alpha_f, 1e-4)[None], 0, 1)

@@ -208,7 +208,10 @@ def sorted_pack(proj: ProjectedGaussians, tw: int, th: int, tile_size: int,
         bits_d = fused_depth_bits(n_tiles)
         dbits = jax.lax.bitcast_convert_type(
             jnp.maximum(depth_b, 0.0), jnp.int32)
-        key = (tile_id << bits_d) | (dbits >> (31 - bits_d))
+        # max(-0.0, 0.0) may keep -0.0 (bit 0x80000000), whose arithmetic
+        # shift would OR a sign into the key and sort the instance before
+        # tile 0 — mask the sign bit so -0.0 keys identically to +0.0
+        key = (tile_id << bits_d) | ((dbits & 0x7FFFFFFF) >> (31 - bits_d))
         sorted_key, sorted_gidx = jax.lax.sort((key, gidx), num_keys=1)
         edges = jnp.searchsorted(
             sorted_key, bounds << bits_d, side="left").astype(jnp.int32)

@@ -148,6 +148,12 @@ def train_scene_group(
             "kNN regularizers are not supported on the scene-parallel axis; "
             "run these configs sequentially (train.py) or on the intra-scene "
             "device mesh (train.py --mesh)")
+    if getattr(o, "param_ema", 0.0) > 0:
+        raise NotImplementedError(
+            "param_ema evaluation is not implemented on the scene-parallel "
+            "axis; a silent fall-through would make sweep evals raw-iterate "
+            "while sequential evals are EMA (non-comparable results). Run "
+            "EMA configs sequentially (train.py)")
 
     n_scenes = len(scenes)
     smesh = make_scene_mesh(n_scenes)

@@ -19,6 +19,7 @@ Manifest format: JSON list of {"name": str, "cmd": [argv...],
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import subprocess
@@ -76,14 +77,25 @@ def main(argv=None) -> int:
         jobs = json.load(f)
     os.makedirs(args.logdir, exist_ok=True)
     deadline = time.time() + args.deadline_s
-    status = {j["name"]: {"state": "pending", "attempts": 0} for j in jobs}
+
+    def job_hash(j):
+        return hashlib.sha256(json.dumps(
+            [j["cmd"], j.get("env", {})], sort_keys=True).encode()).hexdigest()[:16]
+
+    hashes = {j["name"]: job_hash(j) for j in jobs}
+    status = {j["name"]: {"state": "pending", "attempts": 0,
+                          "cmd_hash": hashes[j["name"]]} for j in jobs}
     # restart-safe: completed jobs in an existing status.json stay done, so
-    # a queue restart (code fix, host reboot) never re-burns chip time
+    # a queue restart (code fix, host reboot) never re-burns chip time —
+    # but only when the job's command is UNCHANGED: resuming 'ok' by name
+    # alone would silently skip a revised job and pass off the stale
+    # result as current (ADVICE r4)
     prev_path = os.path.join(args.logdir, "status.json")
     if os.path.exists(prev_path):
         with open(prev_path) as f:
             for name, st in json.load(f).items():
-                if name in status and st.get("state") == "ok":
+                if (name in status and st.get("state") == "ok"
+                        and st.get("cmd_hash") == hashes[name]):
                     status[name] = st
 
     def checkpoint():
