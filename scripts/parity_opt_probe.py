@@ -50,6 +50,13 @@ def main(argv=None) -> None:
                         "800px TPU runs 'pallas' — compare directly")
     p.add_argument("--seed", type=int, default=0,
                    help="must match the scene generator's seed in truth mode")
+    p.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                   help="also track a Polyak average of (params, sim_params) "
+                        "(config.param_ema semantics) and report psnr_ema at "
+                        "each interval — the r4 diagnosis says the walk-away "
+                        "is constant-LR Adam jitter around the optimum, so "
+                        "the basin CENTER should hold >= init where the raw "
+                        "iterate does not; not supported with --densify")
     p.add_argument("--set", dest="overrides", action="append", default=[],
                    metavar="GROUP.KEY=VALUE",
                    help="generic config override (repeatable), e.g. "
@@ -106,6 +113,14 @@ def main(argv=None) -> None:
     n_views, n_times = scene.train.n_views, scene.train.n_times
     srng = np.random.default_rng(args.seed + 7)
 
+    if args.ema > 0 and args.densify:
+        raise SystemExit("--ema does not implement densify row repair; "
+                         "use train.py --param_ema for that path")
+    ema_avg = None
+    if args.ema > 0:
+        ema_update = jax.jit(lambda avg, cur: jax.tree.map(
+            lambda a, b: a * args.ema + (1.0 - args.ema) * b, avg, cur))
+
     traj = []
     for it in range(1, args.iters + 1):
         if args.dynamic:
@@ -120,11 +135,26 @@ def main(argv=None) -> None:
         if args.densify:
             key, sub = jax.random.split(key)
             state, _ = trainer.density_control(state, it, sub)
+        if args.ema > 0:
+            cur = (state.params, state.sim_params)
+            ema_avg = cur if ema_avg is None else ema_update(ema_avg, cur)
         if it % args.every == 0 or it == 1:
             m = jax.device_get(metrics)
             traj.append({"it": it, "psnr": round(float(m.psnr), 2),
                          "loss": round(float(m.loss), 5),
                          "alive": int(m.n_alive)})
+            if args.ema > 0:
+                # metrics.psnr is computed at the PRE-update params, so a
+                # step on a state with EMA params substituted measures the
+                # averaged iterate through the identical compiled program
+                # (the returned update is discarded)
+                _, em, _ = trainer.step_banked(
+                    state._replace(params=ema_avg[0], sim_params=ema_avg[1]),
+                    cam_bank, gt_bank, mask_bank, vi, t_ids,
+                    sh_degree=3, static=not args.dynamic,
+                    carry=StepCarry.zeros())
+                traj[-1]["psnr_ema"] = round(
+                    float(jax.device_get(em).psnr), 2)
             print(traj[-1], flush=True)
 
     print(json.dumps({
@@ -140,6 +170,11 @@ def main(argv=None) -> None:
         "first_psnr": traj[0]["psnr"],
         "last_psnr": traj[-1]["psnr"],
         "min_psnr": min(t["psnr"] for t in traj),
+        **({"ema": args.ema,
+            "last_psnr_ema": traj[-1]["psnr_ema"],
+            "min_psnr_ema": min(t["psnr_ema"] for t in traj
+                                if "psnr_ema" in t)}
+           if args.ema > 0 else {}),
         "trajectory": traj,
     }))
 
