@@ -31,36 +31,58 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # The probe must RUN a computation, not just list devices: a wedged chip
 # claim (the known two-process failure mode) keeps device listing alive
 # while compute hangs indefinitely — a listing-only probe reports "up"
-# forever and burns every attempt.
-PROBE = ("import jax, jax.numpy as jnp; d = jax.devices(); "
-         "assert d and d[0].platform != 'cpu', d; "
-         "assert float(jnp.arange(8.0).sum()) == 28.0")
+# forever and burns every attempt. The probe self-terminates via a
+# watchdog thread instead of relying on subprocess.run(timeout=...):
+# SIGKILLing a TPU client MID-RPC is itself the documented wedge trigger,
+# so the parent must never be the one to kill a hanging probe — the probe
+# closes its own end (os._exit) before the parent would.
+PROBE = """
+import os, sys, threading, time
+def _watchdog():
+    time.sleep(float(sys.argv[1]))
+    os._exit(3)
+threading.Thread(target=_watchdog, daemon=True).start()
+import jax, jax.numpy as jnp
+d = jax.devices()
+assert d and d[0].platform != 'cpu', d
+assert float(jnp.arange(8.0).sum()) == 28.0
+"""
 
 
 def device_up(timeout_s: float = 300.0) -> bool:
     # generous: the probe subprocess shares the host with CPU test suites,
     # and jax import + tunnel init + one tiny compile can exceed 90s under
-    # load — a starved probe must not read as a device outage
+    # load — a starved probe must not read as a device outage. The
+    # subprocess timeout is a last-resort backstop strictly LONGER than the
+    # probe's own watchdog so the child always self-exits first.
     try:
         return subprocess.run(
-            [sys.executable, "-c", PROBE], capture_output=True,
-            timeout=timeout_s).returncode == 0
+            [sys.executable, "-c", PROBE, str(timeout_s)],
+            capture_output=True, timeout=timeout_s + 60).returncode == 0
     except subprocess.TimeoutExpired:
         return False
 
 
 def wait_for_device(deadline: float, poll_s: float = 45.0) -> bool:
-    # short poll: the chip claim can take ~1-2 min to release after a job
-    # exits, which reads as one failed probe between back-to-back jobs —
-    # a long poll would turn that release lag into dead queue time
+    # short poll at first: the chip claim can take ~1-2 min to release
+    # after a job exits, which reads as one failed probe between
+    # back-to-back jobs — a long poll would turn that release lag into
+    # dead queue time. But a WEDGED claim (killed-mid-RPC fallout) lasts
+    # ~1h server-side, so after a few failures the poll backs off: probing
+    # every 45s against a wedge means abandoning a hung probe every few
+    # minutes, each an abrupt client disconnect that risks re-kicking the
+    # wedge it is trying to outlast.
+    fails = 0
     while True:
         if device_up():
             return True
         if time.time() >= deadline:
             return False
-        print(f"hwq: device down, re-probing in {poll_s:.0f}s",
+        fails += 1
+        sleep_s = min(poll_s * (2 ** max(0, fails - 3)), 360.0)
+        print(f"hwq: device down ({fails}x), re-probing in {sleep_s:.0f}s",
               file=sys.stderr, flush=True)
-        time.sleep(poll_s)
+        time.sleep(sleep_s)
 
 
 def main(argv=None) -> int:
@@ -103,6 +125,7 @@ def main(argv=None) -> int:
             json.dump(status, f, indent=1)
 
     checkpoint()
+    last_job_end = 0.0
     for job in jobs:
         name, st = job["name"], status[job["name"]]
         log_path = os.path.join(args.logdir, f"{name}.log")
@@ -110,6 +133,13 @@ def main(argv=None) -> int:
             print(f"hwq: {name}: already ok (resumed)", flush=True)
             continue
         while st["attempts"] < args.max_attempts:
+            # claim-release grace: probing in the ~1-2 min window right
+            # after the previous job exits tends to HANG, and an abandoned
+            # hung probe is an abrupt disconnect that can wedge the claim
+            # for ~1h — cheaper to just wait the lag out
+            lag = time.time() - last_job_end
+            if lag < 90.0:
+                time.sleep(90.0 - lag)
             if not wait_for_device(deadline):
                 st["state"] = "deadline(device down)"
                 break
@@ -130,6 +160,7 @@ def main(argv=None) -> int:
                 except subprocess.TimeoutExpired:
                     rc = -1
             st["elapsed_s"] = round(time.time() - t0, 1)
+            last_job_end = time.time()
             if rc == 0:
                 st["state"] = "ok"
                 # keep the job's last stdout json line if there is one
