@@ -70,7 +70,8 @@ def measure_fps(res: int, n_views: int = 40, width: int = 800,
                                  alive=state.alive)
         if use_pallas:
             from cloth_splatting_tpu.ops.rasterize.pallas_tiled import rasterize_pallas
-            rgb, _, _, _ = rasterize_pallas(proj, width, height, (1.0, 1.0, 1.0))
+            rgb, _, _, _ = rasterize_pallas(proj, width, height, (1.0, 1.0, 1.0),
+                                            pack_order="fused")
         else:
             from cloth_splatting_tpu.ops.rasterize.tiled import rasterize_tiled
             rgb, _, _, _ = rasterize_tiled(proj, width, height, jnp.ones(3),

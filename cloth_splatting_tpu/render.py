@@ -89,7 +89,7 @@ def render(
     backend: str = "tiled",
     bg_static: tuple[float, float, float] | None = None,
     gather_axis: str | None = None,
-    pack_order: str = "exact",
+    pack_order: str = "fused",
 ) -> RenderOutput:
     """Render one camera. ``sh_degree`` is the ACTIVE degree (static int).
 

@@ -132,10 +132,12 @@ class OptimizationConfig:
     # "auto": Pallas custom-VJP rasterizer on TPU, dense XLA tier on CPU;
     # "pallas" / "tiled" force one
     raster_backend: str = "auto"
-    # Pallas-tier instance ordering: 'exact' lexicographic (tile, f32 depth)
-    # sort, or 'fused' single-i32-key sort (CUDA radix-key semantics; see
-    # ops/rasterize/pallas_tiled.sorted_pack)
-    raster_pack_order: str = "exact"
+    # Pallas-tier instance ordering: 'fused' single-i32-key sort (CUDA
+    # radix-key semantics; see ops/rasterize/pallas_tiled.sorted_pack) or
+    # 'exact' lexicographic (tile, f32 depth) two-key sort. Default 'fused':
+    # the r05a on-chip A/B wins both arms — serving 120.9 vs 118.2 FPS,
+    # train 13.61 vs 13.52 it/s @ 24k (docs/results/hwq_r05a.json).
+    raster_pack_order: str = "fused"
     # Polyak/EMA evaluation (new capability, off by default for reference
     # parity). Adam's normalized update is ~LR-sized even at an optimum, so
     # the iterate never settles: the r4 truth probes measure a from-exact-GT

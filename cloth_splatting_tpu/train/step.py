@@ -249,7 +249,7 @@ class Trainer:
                     screen_offset=screen_offset, render_static=static,
                     k_cap=o.raster_k_cap, k_chunk=o.raster_k_chunk,
                     backend=self.backend, bg_static=self.bg_static,
-                    pack_order=getattr(o, "raster_pack_order", "exact"),
+                    pack_order=getattr(o, "raster_pack_order", "fused"),
                 )
 
             if self.backend == "pallas":

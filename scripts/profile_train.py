@@ -39,7 +39,7 @@ def main(argv=None) -> None:
     p.add_argument("--capacity", type=int, default=32768)
     p.add_argument("--size", type=int, default=800)
     p.add_argument("--n_iters", type=int, default=20)
-    p.add_argument("--pack_order", type=str, default="exact",
+    p.add_argument("--pack_order", type=str, default="fused",
                    choices=("exact", "fused"))
     args = p.parse_args(argv)
 
@@ -100,6 +100,16 @@ def main(argv=None) -> None:
     fwd_bwd = jax.jit(jax.value_and_grad(
         functools.partial(loss_fn, lambda_dssim=o.lambda_dssim),
         argnums=(0, 1, 2)))
+    # finer arms (r5): differentiating w.r.t. gaussian params only lets XLA
+    # DCE the simulator backward (vertices depend on sim_params alone), so
+    # fwd_bwd - fwd_bwd_nosim = the GNN-backward share; dropping SSIM from
+    # the differentiated loss isolates the SSIM VJP share
+    fwd_bwd_nosim = jax.jit(jax.value_and_grad(
+        functools.partial(loss_fn, lambda_dssim=o.lambda_dssim),
+        argnums=(0, 2)))
+    fwd_bwd_nossim = jax.jit(jax.value_and_grad(
+        functools.partial(loss_fn, lambda_dssim=0.0),
+        argnums=(0, 1, 2)))
 
     def timeit(fn, *a):
         out = fn(*a)
@@ -114,6 +124,10 @@ def main(argv=None) -> None:
     t_fwd_nossim = timeit(fwd_nossim, state.params, state.sim_params,
                           screen_offset)
     t_fwd_bwd = timeit(fwd_bwd, state.params, state.sim_params, screen_offset)
+    t_fwd_bwd_nosim = timeit(fwd_bwd_nosim, state.params, state.sim_params,
+                             screen_offset)
+    t_fwd_bwd_nossim = timeit(fwd_bwd_nossim, state.params, state.sim_params,
+                              screen_offset)
 
     # full step (stateful: rebind args each call like the train loop does)
     st = state
@@ -137,6 +151,8 @@ def main(argv=None) -> None:
         "bwd_ms": round((t_fwd_bwd - t_fwd) * 1e3, 2),
         "opt_stats_ms": round((t_full - t_fwd_bwd) * 1e3, 2),
         "ssim_fwd_ms": round((t_fwd - t_fwd_nossim) * 1e3, 2),
+        "sim_bwd_ms": round((t_fwd_bwd - t_fwd_bwd_nosim) * 1e3, 2),
+        "ssim_total_ms": round((t_fwd_bwd - t_fwd_bwd_nossim) * 1e3, 2),
         "iters_per_sec_full": round(1.0 / t_full, 2),
     }))
 
