@@ -71,6 +71,7 @@ from cloth_splatting_tpu.ops.projection import (
 )
 from cloth_splatting_tpu.ops.rasterize.pallas_tiled import (
     CHUNK,
+    LOG_ALPHA_MIN,
     PACK16,
     TRANS_EPS,
     PackedTiles,
@@ -137,7 +138,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
             pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
             px = (ox + pidx % tile_size).astype(jnp.float32)
             py = (oy + pidx // tile_size).astype(jnp.float32)
-            return i, px, py
+            return i, px, py, jnp.float32(ox), jnp.float32(oy)
 
         def record_boundary(off, ci, trans):
             # T at this chunk's start goes to its group slot; crossing into
@@ -166,7 +167,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
                  jnp.zeros((3, p), jnp.float32)], axis=0)
 
         def one_tile_vmem(t, sbuf, k0c):
-            i, px, py = tile_coords(t)
+            i, px, py, oxf, oyf = tile_coords(t)
             start = start_ref[i]
             count = count_ref[i]
             off = off_ref[i]
@@ -179,7 +180,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
                 blk = sbuf[kt - k0c + ci]
                 trans, acc = _composite_chunk(
                     blk, px, py, lane, (kt + ci) * CHUNK, start, count,
-                    trans, acc)
+                    trans, acc, oxf, oyf)
                 return (ci + 1, trans, acc)
 
             def chunk_cond(state):
@@ -193,7 +194,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
             write_out(t, acc)
 
         def one_tile_dma(t):
-            i, px, py = tile_coords(t)
+            i, px, py, oxf, oyf = tile_coords(t)
             start = start_ref[i]
             count = count_ref[i]
             off = off_ref[i]
@@ -221,7 +222,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
                 blk = buf[ci % 2]                                # [16, CHUNK]
                 trans, acc = _composite_chunk(
                     blk, px, py, lane, (kt + ci) * CHUNK, start, count,
-                    trans, acc)
+                    trans, acc, oxf, oyf)
                 return (ci + 1, trans, acc)
 
             def chunk_cond(state):
@@ -547,6 +548,7 @@ def chunk_grads(blk, px, py, lane, p6, ox, oy, fields, posbase, start, count,
     sweep); with False it is the carry of LATER chunks, so S_i =
     (chunk_total - prefix) + suffix (reverse sweep)."""
     g_r, g_g, g_b, g_d, g4, kk = fields
+    del g_r, g_g, g_b, g_d                          # folded into the u matmul
     gx = blk[0:1, :] - ox                           # tile-local
     gy = blk[1:2, :] - oy
     ca = blk[2:3, :]
@@ -556,14 +558,26 @@ def chunk_grads(blk, px, py, lane, p6, ox, oy, fields, posbase, start, count,
     cut = blk[10:11, :]
     pos = posbase + lane
     live = (pos >= start) & (pos < start + count)
-    dx = px - gx
-    dy = py - gy
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-    expp = jnp.exp(power)
-    a_raw = op * expp
+
+    # log-alpha via ONE MXU matmul over the p6 pixel monomials (the same
+    # coefficient fold as the serving compositor — see
+    # pallas_tiled._composite_chunk): la = power + log op, dead lanes get a
+    # -1e4 constant so exp underflows to zero.
+    log_op = jnp.log(jnp.maximum(op, 1e-30))        # [1, CHUNK]
+    c0 = (-0.5 * (ca * gx * gx + cc * gy * gy) - cb * gx * gy) + log_op
+    c0 = jnp.where(live, c0, -1e4)
+    cmat = jnp.concatenate(
+        [c0, ca * gx + cb * gy, cc * gy + cb * gx,
+         -0.5 * ca, -cb, -0.5 * cc], axis=0)        # [6, CHUNK]
+    la = jax.lax.dot_general(
+        p6, cmat, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)         # [p, CHUNK]
+    a_raw = jnp.exp(la)                             # = op * exp(power)
     clamped = a_raw > ALPHA_MAX
     alpha = jnp.minimum(ALPHA_MAX, a_raw)
-    dead = (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live)
+    dead = ((la > log_op) | (la < cut + log_op) | (la < LOG_ALPHA_MIN)
+            | (~live))
     alpha = jnp.where(dead, 0.0, alpha)
     incl = 1.0 - alpha
     sh = 1
@@ -575,8 +589,11 @@ def chunk_grads(blk, px, py, lane, p6, ox, oy, fields, posbase, start, count,
 
     t_i = t_start * excl                            # [p, CHUNK] exact
     w = alpha * t_i
-    u = (g_r * blk[5:6, :] + g_g * blk[6:7, :] + g_b * blk[7:8, :]
-         + g_d * blk[9:10, :])                      # [p, CHUNK]
+    ch4 = jnp.concatenate([blk[5:8, :], blk[9:10, :]], axis=0)  # [4, CHUNK]
+    u = jax.lax.dot_general(
+        g4, ch4, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)         # [p, CHUNK] MXU
     uw = u * w
 
     # inclusive forward prefix of uw along the lane axis
@@ -594,7 +611,6 @@ def chunk_grads(blk, px, py, lane, p6, ox, oy, fields, posbase, start, count,
     dl_da = u * t_i + (kk - s_i) / jnp.maximum(1.0 - alpha, 1e-3)
     grad_gate = dead | clamped
     dpow = jnp.where(grad_gate, 0.0, dl_da * a_raw)
-    dop_pix = jnp.where(grad_gate, 0.0, dl_da * expp)
 
     # per-instance reductions on the MXU
     cg = jax.lax.dot_general(
@@ -605,7 +621,9 @@ def chunk_grads(blk, px, py, lane, p6, ox, oy, fields, posbase, start, count,
         p6, dpow, (((0,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)         # [6, CHUNK]
-    dop = jnp.sum(dop_pix, axis=0, keepdims=True)   # [1, CHUNK]
+    # dL/dop per pixel is dl_da * expp = dpow / op, so its pixel sum is the
+    # zeroth moment scaled by 1/op — no separate [p, CHUNK] product/reduce
+    dop = mom[0:1, :] / jnp.maximum(op, 1e-30)      # [1, CHUNK]
 
     m00 = mom[0:1, :]
     m10 = mom[1:2, :]
