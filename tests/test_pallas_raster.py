@@ -32,6 +32,37 @@ class TestPallasParity:
         np.testing.assert_allclose(np.asarray(rgb), 0.5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(acc), 0.0, atol=1e-6)
 
+    def test_far_tile_small_sigma_precision(self):
+        """Monomial-compositor precision guard: a ~0.7 px sigma Gaussian in
+        the far corner of an 800px frame. The P @ C quadratic is evaluated
+        in tile-LOCAL coordinates; with absolute coords the x^2-scale
+        coefficient products reach ~7e6 and f32 cancellation corrupts
+        log-alpha by O(1) exactly in this configuration (sharp splat, far
+        from the origin). Verifies the composited splat matches the dense
+        oracle to sub-quantization accuracy."""
+        from cloth_splatting_tpu.ops.projection import ProjectedGaussians
+
+        w = h = 800
+        proj = ProjectedGaussians(
+            xy=jnp.asarray([[790.3, 789.7]], jnp.float32),
+            depth=jnp.asarray([2.0], jnp.float32),
+            conic=jnp.asarray([[2.0, 0.3, 2.2]], jnp.float32),
+            radius=jnp.asarray([3.0], jnp.float32),
+            color=jnp.asarray([[0.9, 0.2, 0.6]], jnp.float32),
+            opacity=jnp.asarray([0.85], jnp.float32),
+            valid=jnp.ones((1,), bool),
+            power_cut=jnp.full((1,), -4.5, jnp.float32),
+        )
+        rgb_o, dep_o, acc_o = rasterize_reference(proj, w, h, jnp.zeros(3))
+        rgb_p, dep_p, acc_p, _ = rasterize_pallas(
+            proj, w, h, bg_static=(0.0, 0.0, 0.0), interpret=True)
+        sl = np.s_[:, 780:800, 780:800]
+        np.testing.assert_allclose(np.asarray(rgb_p)[sl],
+                                   np.asarray(rgb_o)[sl], atol=2e-3)
+        np.testing.assert_allclose(np.asarray(acc_p)[0, 780:800, 780:800],
+                                   np.asarray(acc_o)[0, 780:800, 780:800],
+                                   atol=2e-3)
+
     def test_adversarial_depth_span(self):
         """Thin layers at close separation plus a distant background: depth
         ordering must stay exact (the sort key is true f32 depth, not a
