@@ -31,11 +31,16 @@ def main(argv=None) -> None:
     p.add_argument("--mesh_res", type=int, default=128, help="128 -> 65k")
     p.add_argument("--n_views", type=int, default=40)
     p.add_argument("--size", type=int, default=800)
-    p.add_argument("--pack_order", type=str, default="exact",
+    p.add_argument("--pack_order", type=str, default="fused",
                    choices=("exact", "fused"),
                    help="instance-ordering strategy under test (the pack "
                         "was 34% of the r3 frame; 'fused' is the single-"
-                        "i32-key CUDA-semantics sort)")
+                        "i32-key CUDA-semantics sort, the default since the "
+                        "r05a A/B)")
+    p.add_argument("--tpp", type=int, default=0,
+                   help="tiles_per_program override (0 = kernel default)")
+    p.add_argument("--span_cap", type=int, default=0,
+                   help="span fast-path cap in chunks (needs --tpp > 1)")
     args = p.parse_args(argv)
 
     import jax
@@ -86,7 +91,9 @@ def main(argv=None) -> None:
         proj = front(c)
         rgb, _, _, _ = rasterize_pallas(proj, w, h, (1.0, 1.0, 1.0),
                                         interpret=interpret,
-                                        pack_order=args.pack_order)
+                                        pack_order=args.pack_order,
+                                        tiles_per_program=args.tpp or None,
+                                        span_cap=args.span_cap or None)
         return rgb[:, ::200, ::200]
 
     def stage_pack(c):
@@ -121,6 +128,8 @@ def main(argv=None) -> None:
         "n_gaussians": int(np.sum(np.asarray(state.alive))),
         "size": args.size,
         "pack_order": args.pack_order,
+        "tpp": args.tpp,
+        "span_cap": args.span_cap,
         "full": round(full_ms, 3),
         "front_end": round(front_ms, 3),
         "pack_incl_front": round(pack_ms, 3),
