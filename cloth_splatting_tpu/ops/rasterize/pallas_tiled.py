@@ -245,26 +245,23 @@ def sorted_pack(proj: ProjectedGaussians, tw: int, th: int, tile_size: int,
     return PackedTiles(rows16, starts, counts, sorted_gidx, aux)
 
 
-def _composite_chunk(blk, px, py, lane, posbase, start, count, trans, acc,
-                     oxf=0.0, oyf=0.0):
+def _composite_chunk(blk, px, py, lane, posbase, start, count, trans, acc):
     """Composite one [16, CHUNK] parameter block over the tile's pixels.
 
     ``posbase`` is the absolute instance position of lane 0; instances
     outside [start, start + count) are masked dead. Returns the updated
     (trans [p, 1], acc [5, p]).
 
-    log-alpha is a quadratic in pixel coords, so it is evaluated as ONE
-    MXU matmul ``P @ C`` (P = per-pixel monomials [1,x,y,x2,xy,y2], C =
-    per-instance coefficient rows) instead of ~14 per-(pixel,instance) VPU
-    ops: the compositor is VPU-op-bound at realistic occupancy, and this
-    moves the quadratic + opacity product + dead-lane mask onto the MXU
-    (opacity folds into the constant row as log op; dead lanes get a -1e4
-    constant, i.e. exp -> 0). ``oxf/oyf`` are the tile origin: coords are
-    shifted tile-local before building monomials, which keeps every C
-    coefficient O(q)-scaled — with absolute 800px coords the x^2-scale
-    products reach ~7e6 and f32 cancellation would corrupt q by O(1)."""
-    gx = blk[0:1, :] - oxf                            # [1, CHUNK] tile-local
-    gy = blk[1:2, :] - oyf
+    The quadratic form is evaluated on the VPU. A monomial-matmul variant
+    (la = P @ C on the MXU, see chunk_grads in pallas_train.py where the
+    monomial basis already exists for the moment matmuls) was measured
+    SLOWER here: the f32 HIGHEST-precision matmul costs 6 bf16 MXU passes
+    per chunk, which on-chip lost ~0.5 ms/frame of serving kernel time vs
+    the fused VPU ops (docs/results/hwq_r05d.json profile_serving_monomial
+    kernel_only 5.53 ms vs 5.03 pre-monomial), so the forward keeps the
+    elementwise form."""
+    gx = blk[0:1, :]                                  # [1, CHUNK]
+    gy = blk[1:2, :]
     ca = blk[2:3, :]
     cb = blk[3:4, :]
     cc = blk[4:5, :]
@@ -274,28 +271,12 @@ def _composite_chunk(blk, px, py, lane, posbase, start, count, trans, acc,
     pos = posbase + lane                              # [1, CHUNK]
     live = (pos >= start) & (pos < start + count)
 
-    log_op = jnp.log(jnp.maximum(op, 1e-30))          # [1, CHUNK]
-    c0 = (-0.5 * (ca * gx * gx + cc * gy * gy) - cb * gx * gy) + log_op
-    c0 = jnp.where(live, c0, -1e4)
-    cmat = jnp.concatenate(
-        [c0, ca * gx + cb * gy, cc * gy + cb * gx,
-         -0.5 * ca, -cb, -0.5 * cc,
-         jnp.zeros((2, CHUNK), jnp.float32)], axis=0)  # [8, CHUNK]
-    pxl = px - oxf                                     # [p, 1]
-    pyl = py - oyf
-    pmono = jnp.concatenate(
-        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl,
-         jnp.zeros((pxl.shape[0], 2), jnp.float32)], axis=1)   # [p, 8]
-    la = jax.lax.dot_general(
-        pmono, cmat, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)            # [p, CHUNK]
-
-    # la = power + log op; the three guards of the CUDA contract translate
-    # to la-space compares against [1, CHUNK] rows (live is already folded)
-    alpha = jnp.minimum(ALPHA_MAX, jnp.exp(la))
+    dx = px - gx                                      # [p, CHUNK]
+    dy = py - gy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    alpha = jnp.minimum(ALPHA_MAX, op * jnp.exp(power))
     alpha = jnp.where(
-        (la > log_op) | (la < cut + log_op) | (la < LOG_ALPHA_MIN),
+        (power > 0.0) | (power < cut) | (alpha < ALPHA_MIN) | (~live),
         0.0, alpha)
 
     # exclusive cumprod of (1 - alpha) along the instance (lane) axis
@@ -380,7 +361,7 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
         pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
         px = (ox + pidx % tile_size).astype(jnp.float32)
         py = (oy + pidx // tile_size).astype(jnp.float32)
-        return i, px, py, jnp.float32(ox), jnp.float32(oy)
+        return i, px, py
 
     def _write_tile(t, out_ref, acc):
         alpha_img = acc[4:5, :]                               # [1, p] = 1 - T
@@ -393,7 +374,7 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
              jnp.zeros((3, p), jnp.float32)], axis=0)         # [8, p]
 
     def _one_tile_vmem(i0, t, start_ref, count_ref, sbuf, k0c, out_ref):
-        i, px, py, oxf, oyf = _tile_pixels(i0, t)
+        i, px, py = _tile_pixels(i0, t)
         start = start_ref[i]
         count = count_ref[i]
         kt = start // CHUNK                  # first chunk of this tile
@@ -405,7 +386,7 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
             blk = sbuf[kt - k0c + ci]                         # [16, CHUNK]
             trans, acc = _composite_chunk(
                 blk, px, py, lane, (kt + ci) * CHUNK, start, count, trans,
-                acc, oxf, oyf)
+                acc)
             return (ci + 1, trans, acc)
 
         def chunk_cond(state):
@@ -419,7 +400,7 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
 
     def _one_tile(i0, t, start_ref, count_ref, rows3d_hbm, out_ref, buf,
                   sem):
-        i, px, py, oxf, oyf = _tile_pixels(i0, t)
+        i, px, py = _tile_pixels(i0, t)
         start = start_ref[i]
         count = count_ref[i]
         kt = start // CHUNK
@@ -449,7 +430,7 @@ def _kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
             blk = buf[ci % 2]                                # [16, CHUNK]
             trans, acc = _composite_chunk(
                 blk, px, py, lane, (kt + ci) * CHUNK, start, count, trans,
-                acc, oxf, oyf)
+                acc)
             return (ci + 1, trans, acc)
 
         def chunk_cond(state):

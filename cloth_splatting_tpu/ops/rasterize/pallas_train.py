@@ -138,7 +138,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
             pidx = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
             px = (ox + pidx % tile_size).astype(jnp.float32)
             py = (oy + pidx // tile_size).astype(jnp.float32)
-            return i, px, py, jnp.float32(ox), jnp.float32(oy)
+            return i, px, py
 
         def record_boundary(off, ci, trans):
             # T at this chunk's start goes to its group slot; crossing into
@@ -167,7 +167,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
                  jnp.zeros((3, p), jnp.float32)], axis=0)
 
         def one_tile_vmem(t, sbuf, k0c):
-            i, px, py, oxf, oyf = tile_coords(t)
+            i, px, py = tile_coords(t)
             start = start_ref[i]
             count = count_ref[i]
             off = off_ref[i]
@@ -180,7 +180,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
                 blk = sbuf[kt - k0c + ci]
                 trans, acc = _composite_chunk(
                     blk, px, py, lane, (kt + ci) * CHUNK, start, count,
-                    trans, acc, oxf, oyf)
+                    trans, acc)
                 return (ci + 1, trans, acc)
 
             def chunk_cond(state):
@@ -194,7 +194,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
             write_out(t, acc)
 
         def one_tile_dma(t):
-            i, px, py, oxf, oyf = tile_coords(t)
+            i, px, py = tile_coords(t)
             start = start_ref[i]
             count = count_ref[i]
             off = off_ref[i]
@@ -222,7 +222,7 @@ def _fwd_train_kernel(tile_size: int, tw: int, bg: tuple[float, float, float],
                 blk = buf[ci % 2]                                # [16, CHUNK]
                 trans, acc = _composite_chunk(
                     blk, px, py, lane, (kt + ci) * CHUNK, start, count,
-                    trans, acc, oxf, oyf)
+                    trans, acc)
                 return (ci + 1, trans, acc)
 
             def chunk_cond(state):
