@@ -93,6 +93,15 @@ class OptimizationConfig:
     lambda_rigid: float = 0.3
     lambda_deform_mag: float = 0.01
     lambda_momentum: float = 0.1
+    # Anchor regularizer (TPU-repo extension, default 0 = reference
+    # parity): penalizes |deformed - GNN-predicted| vertices. Every
+    # reference regularizer is temporal-RELATIVE (frame-to-frame
+    # magnitude, edge lengths, momentum), so a time-coherent drift of the
+    # whole mesh off the predicted surface is unconstrained except weakly
+    # by photometrics — measured at 17.2 mm mean nearest-Gaussian offset
+    # on the zero-noise isometric parity run, the dominant term of its
+    # 20.2 mm MTE (docs/results/hwq_r05d.json mte_decompose_iso_zn).
+    lambda_anchor: float = 0.0
     # MD-Splatting kNN regularizers (reference train.py:396-412 flags +
     # train_utils.py:104-235; drive the published lambda_iso ablation)
     lambda_isometric: float = 0.0

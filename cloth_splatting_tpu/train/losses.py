@@ -39,12 +39,17 @@ def image_losses(images: jnp.ndarray, gt_images: jnp.ndarray, lambda_dssim: floa
 
 def regularization(all_vertices: jnp.ndarray, mesh: Mesh,
                    lambda_deform_mag: float, lambda_rigid: float,
-                   lambda_momentum: float, static: bool = False) -> jnp.ndarray:
+                   lambda_momentum: float, static: bool = False,
+                   lambda_anchor: float = 0.0,
+                   anchor_base: jnp.ndarray | None = None) -> jnp.ndarray:
     """Mesh-deformation regularizers over consecutive-time vertex batches.
 
     Args:
         all_vertices: [B, V, 3] deformed vertices of the B cameras (which are
             consecutive timesteps in the 3-step batch regime).
+        anchor_base: [B, V, 3] GNN-predicted vertices at the same times, for
+            the lambda_anchor residual-magnitude penalty (see
+            train/config.py lambda_anchor for the measured rationale).
     """
     if static:
         return jnp.zeros(())
@@ -54,6 +59,10 @@ def regularization(all_vertices: jnp.ndarray, mesh: Mesh,
     def safe_norm(x):
         # sqrt(ss + eps): finite gradient at exactly-zero displacements
         return jnp.sqrt(jnp.sum(x * x, axis=-1) + 1e-12)
+
+    if lambda_anchor > 0.0 and anchor_base is not None:
+        loss = loss + lambda_anchor * safe_norm(
+            all_vertices - anchor_base).mean()
 
     if lambda_deform_mag > 0.0 and n_cams >= 3:
         d0 = safe_norm(all_vertices[1] - all_vertices[0]).mean()

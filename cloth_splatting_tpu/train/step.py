@@ -261,9 +261,18 @@ class Trainer:
             images = outs.rgb                                   # [B, 3, H, W]
             loss, ldict = image_losses(images, gt_images, o.lambda_dssim,
                                        masks if has_masks else None)
+            anchor_base = None
+            if getattr(o, "lambda_anchor", 0.0) > 0.0 and not static:
+                n_times = mesh_predictions.shape[0]
+                dt = 1.0 if n_times == 1 else 1.0 / (n_times - 1)
+                tid = jnp.clip(jnp.round(cams.time / dt).astype(jnp.int32),
+                               0, n_times - 1)              # [B]
+                anchor_base = mesh_predictions[tid]         # [B, V, 3]
             loss = loss + regularization(
                 outs.vertices, mesh, o.lambda_deform_mag, o.lambda_rigid,
                 o.lambda_momentum, static,
+                lambda_anchor=getattr(o, "lambda_anchor", 0.0),
+                anchor_base=anchor_base,
             )
             if knn_state is not None and not static:
                 loss = loss + knn_regularization(
