@@ -63,11 +63,26 @@ def main(argv=None) -> None:
     _, mte_trans = align_trajectories(pred, None, gt)
 
     # fit error: transport the offset with the TRUE local motion — the
-    # matched pred point's error against the gt point's own displacement
+    # matched pred point's error against the gt point's own displacement.
+    # NOTE (r05 measurement): algebraically IDENTICAL to translation-only
+    # transport — (pred_t - pred_0) - (gt_t - gt_0) = (pred_t + offset0)
+    # - gt_t — kept only so the equality is visible in the artifact.
     gt_disp = gt - gt[0][None]                            # [T, M, 3]
     fit = np.linalg.norm(
         (pred[:, nearest] - pred[0][None, nearest]) - gt_disp, axis=-1)
     mte_fit = fit.mean(axis=0)                            # [M]
+
+    # per-frame oracle NN: distance from each gt point to the NEAREST
+    # predicted point matched independently AT EACH FRAME — the
+    # tracking-free surface-coverage floor. If this is large, the fitted
+    # surface itself is off (coherent mesh drift); if small while MTE is
+    # large, the loss is in t0-matching/transport.
+    oracle = np.empty((t, gt.shape[1]), np.float32)
+    for ti in range(t):
+        dt_ = np.linalg.norm(gt[ti][:, None] - pred[ti][None], axis=-1)
+        oracle[ti] = dt_.min(axis=1)
+    oracle_mean = oracle.mean()
+    oracle_last = oracle[-1].mean()
 
     s = args.scale_mm
     print(json.dumps({
@@ -79,6 +94,8 @@ def main(argv=None) -> None:
         "mte_fit_true_transport": round(float(mte_fit.mean()) * s, 3),
         "match_offset_mean": round(float(match_off.mean()) * s, 3),
         "match_offset_p95": round(float(np.percentile(match_off, 95)) * s, 3),
+        "oracle_nn_mean": round(float(oracle_mean) * s, 3),
+        "oracle_nn_last_frame": round(float(oracle_last) * s, 3),
     }))
 
 
